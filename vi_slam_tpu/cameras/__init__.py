@@ -1,0 +1,3 @@
+from vi_slam_tpu.cameras.base import CameraParams as CameraParams
+from vi_slam_tpu.cameras import pinhole as pinhole
+from vi_slam_tpu.cameras import kb8 as kb8

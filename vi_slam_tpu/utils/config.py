@@ -1,0 +1,208 @@
+"""Typed configuration for the whole engine.
+
+Replaces the reference's two overlapping config systems (`basics::Config`
+cv::FileStorage singleton — `/root/reference/include/vi_slam/basics/config.h:14-46`
+— and the per-run YAML parsed by `Tracking::ParseCamParamFile/ParseORBParamFile/
+ParseIMUParamFile`, `/root/reference/src/core/tracking.cpp:488/:1021/:1105`)
+with one frozen dataclass tree. Presets mirror `config/KITTI00-Stereo.yaml`.
+
+Everything here is *static* configuration: values feed jit specialization
+(shapes, iteration counts) or host-side thresholds. No cv/YAML dependency;
+`from_yaml` accepts a plain dict so a YAML loader can be layered on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Tuple
+
+
+class Sensor(Enum):
+    """Sensor modes (reference: `core/system.h:96-102` eSensor)."""
+
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    model: str = "pinhole"  # "pinhole" | "kb8"
+    width: int = 1241
+    height: int = 376
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    dist: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    bf: float = 386.1448  # baseline * fx (stereo), 0 for mono
+    fps: float = 10.0
+    # depth threshold factor: close/far stereo points (KITTI00 ThDepth=35)
+    th_depth: float = 35.0
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """ORB extractor knobs (reference: ORBextractor section of
+    config/KITTI00-Stereo.yaml and fextractor.h:26-91)."""
+
+    n_features: int = 2000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0  # iniThFAST
+    fast_min_threshold: float = 7.0  # minThFAST
+    cell_size: int = 32  # vilib grid-NMS cell (fast_cuda.cpp:88-99)
+    # cap on per-level candidate corners entering top-K selection
+    max_candidates_per_level: int = 4096
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor-matching thresholds (reference: fmatcher.cpp:313-315)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    nn_ratio: float = 0.9
+    check_orientation: bool = True
+    histo_bins: int = 30
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    # motion-model projection search radius (px), scaled by pyramid level
+    search_radius: float = 15.0
+    # min matches to accept a tracking solution (tracking.cpp semantics)
+    min_matches_motion: int = 20
+    min_matches_local_map: int = 30
+    # keyframe decision (NeedNewKeyFrame tracking.cpp:2925)
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 10
+    kf_ref_ratio: float = 0.75  # insert KF if tracked < ratio * ref visible
+    # re-localization grace window, seconds (time_recently_lost)
+    recently_lost_sec: float = 5.0
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    # motion-only pose optimization (optimizer.cpp:819: 4 rounds x 10 iters)
+    pose_rounds: int = 4
+    pose_iters_per_round: int = 10
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    # local BA window caps (static shapes; LocalBundleAdjustment semantics)
+    max_local_kfs: int = 16
+    max_fixed_kfs: int = 16
+    max_local_points: int = 4096
+    local_ba_iters: int = 10
+    # inertial sliding window (LocalInertialBA: Nd=10, 25 if bLarge)
+    inertial_window: int = 10
+    # global BA
+    gba_iters: int = 10
+    solver_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class IMUConfig:
+    """Noise densities / random walk (reference: Calib imu.h:74-126,
+    ParseIMUParamFile tracking.cpp:1105)."""
+
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    freq: float = 200.0
+    # body-from-camera extrinsics as a flat 4x4 row-major tuple
+    T_bc: Optional[Tuple[float, ...]] = None
+    gravity: float = 9.81
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Static capacities for the struct-of-arrays map (SURVEY §7.1)."""
+
+    max_keyframes: int = 512
+    max_points: int = 65536
+    max_obs_per_point: int = 16
+    covis_weight_min: int = 15  # covisibility edge threshold (keyframe.h)
+    essential_weight_min: int = 100  # essential-graph edge threshold
+
+
+@dataclass(frozen=True)
+class PlaceConfig:
+    """Vocabulary / place recognition (DBoW3 equivalents)."""
+
+    vocab_k: int = 10  # branching factor
+    vocab_levels: int = 4  # depth -> k^L leaf words (10^4 here)
+    min_common_words_ratio: float = 0.8
+    loop_consistency: int = 3
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for distributed global BA (SURVEY §2.4 item 3)."""
+
+    data_axis: str = "dp"
+    n_devices: int = 1
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    sensor: Sensor = Sensor.STEREO
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    imu: IMUConfig = field(default_factory=IMUConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    place: PlaceConfig = field(default_factory=PlaceConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def kitti00_stereo() -> SystemConfig:
+    """Preset mirroring `/root/reference/config/KITTI00-Stereo.yaml`."""
+    return SystemConfig(sensor=Sensor.STEREO)
+
+
+def kitti00_mono() -> SystemConfig:
+    return SystemConfig(
+        sensor=Sensor.MONOCULAR,
+        camera=CameraConfig(bf=0.0),
+    )
+
+
+def from_dict(d: dict) -> SystemConfig:
+    """Build a config from a nested plain dict (YAML-loaded)."""
+
+    def _build(cls, sub: dict):
+        names = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in sub.items():
+            if k not in names:
+                raise KeyError(f"unknown config key {cls.__name__}.{k}")
+            f = names[k]
+            if dataclasses.is_dataclass(f.type) or f.name in (
+                "camera", "extractor", "matcher", "tracker", "ba", "imu",
+                "map", "place", "mesh",
+            ):
+                sub_cls = {
+                    "camera": CameraConfig, "extractor": ExtractorConfig,
+                    "matcher": MatcherConfig, "tracker": TrackerConfig,
+                    "ba": BAConfig, "imu": IMUConfig, "map": MapConfig,
+                    "place": PlaceConfig, "mesh": MeshConfig,
+                }[f.name]
+                kw[k] = _build(sub_cls, v)
+            elif f.name == "sensor":
+                kw[k] = Sensor[v] if isinstance(v, str) else Sensor(v)
+            else:
+                kw[k] = v
+        return cls(**kw)
+
+    return _build(SystemConfig, d)
