@@ -1,0 +1,139 @@
+"""Stereo scanline matching: left/right keypoint association + subpixel
+refinement + depth.
+
+Semantic reference: `Frame::ComputeStereoMatches`
+(`/root/reference/src/datastructures/frame.cpp:823`): per-row candidate
+lists, best Hamming match within the disparity range, then SAD subpixel
+refinement with parabola interpolation on an 11x11 window slid +/-5 px,
+and an outlier sweep against the median SAD.
+
+TPU design: row-candidate lists become a (NL, NR) mask (row band scaled by
+pyramid level, disparity in [min_disp, max_disp]); the Hamming matrix is
+one MXU matmul. Subpixel SAD gathers, for each matched pair, a single
+(11, 11+10) right strip and correlates 11 shifts at once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vi_slam_tpu.features.extractor import Features
+from vi_slam_tpu.ops.hamming import hamming_matrix_bits
+from vi_slam_tpu.ops.match import masked_min2
+from vi_slam_tpu.ops.orb import unpack_bits
+
+_W = 5  # SAD half-window (frame.cpp: w = 5)
+_L = 5  # disparity search half-range for subpixel (frame.cpp: L = 5)
+
+
+class StereoMatches(NamedTuple):
+    """Per-left-keypoint stereo association (frame.h mvuRight/mvDepth)."""
+
+    u_right: jnp.ndarray  # (N,) float32, subpixel right x at level 0; -1 invalid
+    depth: jnp.ndarray  # (N,) float32; -1 invalid
+    ok: jnp.ndarray  # (N,) bool
+
+
+def _gather_patch(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, hw: int, hh: int):
+    """Gather integer patches (B, 2*hh+1, 2*hw+1) centered at (cx, cy)."""
+    ys = jnp.arange(-hh, hh + 1)
+    xs = jnp.arange(-hw, hw + 1)
+    yy = jnp.clip(cy[:, None, None] + ys[None, :, None], 0, img.shape[0] - 1)
+    xx = jnp.clip(cx[:, None, None] + xs[None, None, :], 0, img.shape[1] - 1)
+    return img[yy, xx]
+
+
+@partial(jax.jit, static_argnames=("max_hamming",))
+def match_stereo(
+    left: Features,
+    right: Features,
+    img_left_pyr,
+    img_right_pyr,
+    level_scales: jnp.ndarray,
+    bf: jnp.ndarray,
+    min_disp: float = 0.0,
+    max_disp: float = 400.0,
+    max_hamming: int = 80,
+) -> StereoMatches:
+    """Associate left features with right features and refine disparity.
+
+    img_*_pyr: lists of per-level images (for the SAD refinement).
+    level_scales: (L,) scale per level.
+    """
+    bL = unpack_bits(left.desc)
+    bR = unpack_bits(right.desc)
+    D = hamming_matrix_bits(bL, bR)
+
+    scale_l = level_scales[jnp.clip(left.level, 0, level_scales.shape[0] - 1)]
+    # row band: 2 * scale of the left keypoint's level (frame.cpp:852 maxR)
+    band = 2.0 * scale_l
+    dv = jnp.abs(left.xy[:, 1:2] - right.xy[None, :, 1])
+    disp = left.xy[:, 0:1] - right.xy[None, :, 0]
+    level_ok = jnp.abs(left.level[:, None] - right.level[None, :]) <= 1
+    mask = (
+        (dv <= band[:, None])
+        & (disp >= min_disp)
+        & (disp <= max_disp)
+        & level_ok
+        & left.valid[:, None]
+        & right.valid[None, :]
+    )
+    idx, best, _ = masked_min2(D, mask)
+    coarse_ok = best <= max_hamming
+
+    # --- subpixel SAD refinement at the left keypoint's level ---
+    # work at the level of the left keypoint; gather patches per level and
+    # select (static python loop over levels, masked accumulate).
+    n = left.xy.shape[0]
+    inv_scale = 1.0 / scale_l
+    uL_lvl = left.xy[:, 0] * inv_scale
+    vL_lvl = left.xy[:, 1] * inv_scale
+    uR0_lvl = right.xy[idx, 0] * inv_scale  # right x expressed at left's level
+
+    best_incr = jnp.zeros((n,), jnp.float32)
+    sad_valid = jnp.zeros((n,), bool)
+    for l, (imL, imR) in enumerate(zip(img_left_pyr, img_right_pyr)):
+        sel = left.level == l
+        cxL = jnp.clip(jnp.round(uL_lvl).astype(jnp.int32), 0, imL.shape[1] - 1)
+        cy = jnp.clip(jnp.round(vL_lvl).astype(jnp.int32), 0, imL.shape[0] - 1)
+        cxR = jnp.clip(jnp.round(uR0_lvl).astype(jnp.int32), 0, imR.shape[1] - 1)
+        patchL = _gather_patch(imL, cxL, cy, _W, _W)  # (N, 11, 11)
+        strip = _gather_patch(imR, cxR, cy, _W + _L, _W)  # (N, 11, 21)
+        # 11 shifted windows from the strip: shift s in [-L, L]
+        sads = []
+        for s in range(2 * _L + 1):
+            win = jax.lax.dynamic_slice_in_dim(strip, s, 2 * _W + 1, axis=2)
+            sads.append(jnp.sum(jnp.abs(win - patchL), axis=(1, 2)))
+        sad = jnp.stack(sads, axis=-1)  # (N, 11)
+        bi = jnp.argmin(sad, axis=-1)
+        smin = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
+        sm1 = jnp.take_along_axis(sad, jnp.clip(bi - 1, 0, 2 * _L)[:, None], 1)[:, 0]
+        sp1 = jnp.take_along_axis(sad, jnp.clip(bi + 1, 0, 2 * _L)[:, None], 1)[:, 0]
+        denom = sm1 + sp1 - 2.0 * smin
+        delta = jnp.where(
+            denom > 1e-6, 0.5 * (sm1 - sp1) / jnp.maximum(denom, 1e-6), 0.0
+        )
+        delta = jnp.clip(delta, -1.0, 1.0)
+        interior = bi > 0
+        interior &= bi < 2 * _L
+        incr = (bi.astype(jnp.float32) - _L) + delta
+        best_incr = jnp.where(sel, incr, best_incr)
+        sad_valid = jnp.where(sel, interior, sad_valid)
+
+    u_right = (uR0_lvl + best_incr) * scale_l  # back to level-0 coords
+    disparity = left.xy[:, 0] - u_right
+    ok = (
+        coarse_ok
+        & sad_valid
+        & left.valid
+        & (disparity > jnp.maximum(min_disp, 1e-3))
+        & (disparity <= max_disp)
+    )
+    depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-3), -1.0)
+    u_right = jnp.where(ok, u_right, -1.0)
+    return StereoMatches(u_right=u_right, depth=depth, ok=ok)
