@@ -1,0 +1,225 @@
+"""Synthetic worlds and sequences for tests and benchmarks.
+
+No KITTI data ships with this machine, so end-to-end validation uses two
+synthetic sources (SURVEY §4 implication — component-level numeric checks
+vs known data):
+
+  * `LandmarkWorld` — an "oracle feature" source: 3D landmarks with fixed
+    random descriptors; frames are perfect/noisy projections with stereo
+    disparity. Exercises tracking, mapping, and BA without the image
+    frontend.
+  * `BillboardWorld` — renders grayscale stereo images of textured quads
+    ("billboards") so the full image pipeline (FAST/ORB/stereo SAD) runs.
+
+Ground-truth trajectories are smooth forward motions with curvature,
+KITTI-like scale (metres, ~10 fps).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+from vi_slam_tpu.io.trajectory import rotation_to_quaternion  # noqa: F401
+
+
+def make_trajectory(
+    n_frames: int, speed: float = 1.0, yaw_rate: float = 0.005, seed: int = 0
+) -> np.ndarray:
+    """(N, 4, 4) Twc camera-to-world poses: forward (+z) motion with gentle
+    yaw, camera x right / y down / z forward (KITTI convention)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    pos = np.zeros(3)
+    yaw = 0.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])  # yaw about y (down)
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+        fwd = R @ np.asarray([0.0, 0.0, 1.0])
+        pos = pos + speed * fwd
+        yaw += yaw_rate * (1.0 + 0.3 * np.sin(i * 0.05))
+    return np.stack(poses)
+
+
+class LandmarkWorld(NamedTuple):
+    points: np.ndarray  # (L, 3) world positions
+    desc: np.ndarray  # (L, 8) uint32 descriptors
+    poses_wc: np.ndarray  # (N, 4, 4) ground-truth Twc
+
+
+def make_landmark_world(
+    n_frames: int = 60,
+    n_landmarks: int = 4000,
+    corridor_half_width: float = 12.0,
+    seed: int = 0,
+    speed: float = 1.0,
+    yaw_rate: float = 0.005,
+) -> LandmarkWorld:
+    """Landmarks scattered in a corridor around the trajectory."""
+    rng = np.random.default_rng(seed)
+    poses = make_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed)
+    # scatter landmarks around the path, biased forward
+    centers = poses[rng.integers(0, n_frames, n_landmarks), :3, 3]
+    offs = np.stack(
+        [
+            rng.uniform(-corridor_half_width, corridor_half_width, n_landmarks),
+            rng.uniform(-4.0, 2.0, n_landmarks),
+            rng.uniform(2.0, 45.0, n_landmarks),
+        ],
+        axis=-1,
+    )
+    pts = centers + offs
+    desc = rng.integers(0, 2 ** 32, size=(n_landmarks, 8), dtype=np.uint32)
+    return LandmarkWorld(points=pts, desc=desc, poses_wc=poses)
+
+
+def flip_descriptor_bits(
+    desc: np.ndarray, n_bits: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Simulate descriptor noise: flip n_bits random bits per descriptor."""
+    out = desc.copy()
+    n = desc.shape[0]
+    for _ in range(n_bits):
+        word = rng.integers(0, 8, n)
+        bit = rng.integers(0, 32, n).astype(np.uint32)
+        out[np.arange(n), word] ^= (np.uint32(1) << bit)
+    return out
+
+
+class OracleFrame(NamedTuple):
+    """Per-frame oracle observation set (visible landmarks projected)."""
+
+    xy: np.ndarray  # (V, 2) pixel positions (left)
+    uright: np.ndarray  # (V,) right-image u (-1 if occluded from right)
+    depth: np.ndarray  # (V,)
+    desc: np.ndarray  # (V, 8)
+    landmark_id: np.ndarray  # (V,) ground-truth association (for diagnostics)
+    level: np.ndarray  # (V,) simulated pyramid level
+
+
+def render_oracle_frame(
+    world: LandmarkWorld,
+    frame_idx: int,
+    cam_fx: float,
+    cam_fy: float,
+    cam_cx: float,
+    cam_cy: float,
+    bf: float,
+    width: int,
+    height: int,
+    max_features: int = 1200,
+    px_noise: float = 0.3,
+    desc_noise_bits: int = 8,
+    seed: int = 100,
+) -> OracleFrame:
+    rng = np.random.default_rng(seed + frame_idx)
+    Twc = world.poses_wc[frame_idx]
+    Rcw = Twc[:3, :3].T
+    tcw = -Rcw @ Twc[:3, 3]
+    pc = (Rcw @ world.points.T).T + tcw
+    z = pc[:, 2]
+    u = cam_fx * pc[:, 0] / np.maximum(z, 1e-6) + cam_cx
+    v = cam_fy * pc[:, 1] / np.maximum(z, 1e-6) + cam_cy
+    ur = u - bf / np.maximum(z, 1e-6)
+    vis = (z > 1.0) & (z < 60.0) & (u >= 5) & (u < width - 5) & (v >= 5) & (v < height - 5)
+    ids = np.where(vis)[0]
+    if ids.shape[0] > max_features:
+        # deterministic subselection (lowest ids) so consecutive frames see
+        # a consistent feature set, as a real detector would
+        ids = np.sort(ids)[:max_features]
+    u = u[ids] + rng.normal(0, px_noise, ids.shape[0])
+    v = v[ids] + rng.normal(0, px_noise, ids.shape[0])
+    ur = ur[ids] + rng.normal(0, px_noise, ids.shape[0])
+    desc = flip_descriptor_bits(world.desc[ids], desc_noise_bits, rng)
+    # simulated level from depth (closer -> finer)
+    level = np.clip((45.0 / np.maximum(z[ids], 2.0)).astype(int) // 4, 0, 7)
+    return OracleFrame(
+        xy=np.stack([u, v], axis=-1),
+        uright=ur,
+        depth=z[ids],
+        desc=desc,
+        landmark_id=ids,
+        level=level.astype(np.int32),
+    )
+
+
+class BillboardWorld(NamedTuple):
+    centers: np.ndarray  # (B, 3)
+    sizes: np.ndarray  # (B,)
+    intensities: np.ndarray  # (B,)
+    poses_wc: np.ndarray  # (N, 4, 4)
+
+
+def make_billboard_world(
+    n_frames: int = 40,
+    n_boards: int = 3000,
+    seed: int = 1,
+    speed: float = 0.8,
+    yaw_rate: float = 0.004,
+) -> BillboardWorld:
+    rng = np.random.default_rng(seed)
+    poses = make_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed)
+    centers = poses[rng.integers(0, n_frames, n_boards), :3, 3]
+    offs = np.stack(
+        [
+            rng.uniform(-15.0, 15.0, n_boards),
+            rng.uniform(-5.0, 3.0, n_boards),
+            rng.uniform(3.0, 50.0, n_boards),
+        ],
+        axis=-1,
+    )
+    return BillboardWorld(
+        centers=centers + offs,
+        sizes=rng.uniform(0.15, 0.6, n_boards),
+        intensities=rng.uniform(60.0, 255.0, n_boards),
+        poses_wc=poses,
+    )
+
+
+def render_billboard_image(
+    world: BillboardWorld,
+    Twc: np.ndarray,
+    cam_fx: float,
+    cam_fy: float,
+    cam_cx: float,
+    cam_cy: float,
+    width: int,
+    height: int,
+    baseline: float = 0.0,
+    background: float = 20.0,
+) -> np.ndarray:
+    """Rasterize billboards as depth-sorted filled rectangles (approximate
+    perspective: screen-aligned squares sized by depth). baseline shifts the
+    camera right (for the right stereo view)."""
+    Rcw = Twc[:3, :3].T
+    tw = Twc[:3, 3] + Twc[:3, :3] @ np.asarray([baseline, 0.0, 0.0])
+    tcw = -Rcw @ tw
+    pc = (Rcw @ world.centers.T).T + tcw
+    z = pc[:, 2]
+    vis = z > 1.0
+    img = np.full((height, width), background, np.float32)
+    u = cam_fx * pc[:, 0] / np.maximum(z, 1e-6) + cam_cx
+    v = cam_fy * pc[:, 1] / np.maximum(z, 1e-6) + cam_cy
+    half_w = cam_fx * world.sizes / np.maximum(z, 1e-6) * 0.5
+    half_h = cam_fy * world.sizes / np.maximum(z, 1e-6) * 0.5
+    order = np.argsort(-z)  # far to near
+    for i in order:
+        if not vis[i]:
+            continue
+        x0 = int(np.floor(u[i] - half_w[i]))
+        x1 = int(np.ceil(u[i] + half_w[i]))
+        y0 = int(np.floor(v[i] - half_h[i]))
+        y1 = int(np.ceil(v[i] + half_h[i]))
+        if x1 < 0 or y1 < 0 or x0 >= width or y0 >= height:
+            continue
+        if x1 - x0 < 1 or y1 - y0 < 1:
+            continue
+        x0c, x1c = max(x0, 0), min(x1, width)
+        y0c, y1c = max(y0, 0), min(y1, height)
+        img[y0c:y1c, x0c:x1c] = world.intensities[i]
+    return img

@@ -1,0 +1,358 @@
+"""Struct-of-arrays SLAM map: keyframes, map points, observations.
+
+Semantic reference: the reference's pointer-graph map —
+`KeyFrame` (`/root/reference/include/vi_slam/datastructures/keyframe.h:44-`,
+covisibility :79-93), `MapPoint` (`mappoint.h:25-178`, observations map
+:138, distinctive descriptor :160, normal/depth :164-170), `Map`
+(`map.h:34-152`) — redesigned as fixed-capacity padded tensors with alive
+masks (SURVEY §7.1): culling is a mask clear, graph queries are matmuls
+or segment reductions, and the whole map checkpoint is a flat pytree.
+
+Capacities: K keyframes x N keypoints each; M map points with up to P
+observations. Slots are allocated monotonically by the host pipeline;
+`kf_valid`/`mp_valid` masks define liveness.
+
+Conventions: poses are Tcw (world->camera). `kf_mp[k, i]` is the map-point
+id observed by keypoint i of keyframe k (-1 = none). `mp_obs_kf[m, j]` /
+`mp_obs_idx[m, j]` are the inverse incidence (-1 = empty slot).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vi_slam_tpu.features.extractor import Features
+from vi_slam_tpu.lie.se3 import SE3
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_R: jnp.ndarray  # (K, 3, 3) Tcw rotation
+    kf_t: jnp.ndarray  # (K, 3)
+    kf_valid: jnp.ndarray  # (K,) bool
+    kf_frame_id: jnp.ndarray  # (K,) int32 — source frame index
+    kf_timestamp: jnp.ndarray  # (K,) float64
+    # per-keyframe features
+    kf_xy: jnp.ndarray  # (K, N, 2)
+    kf_level: jnp.ndarray  # (K, N) int32
+    kf_angle: jnp.ndarray  # (K, N)
+    kf_desc: jnp.ndarray  # (K, N, 8) uint32
+    kf_uright: jnp.ndarray  # (K, N) float32, -1 = mono
+    kf_depth: jnp.ndarray  # (K, N) float32, -1 = unknown
+    kf_kp_valid: jnp.ndarray  # (K, N) bool
+    kf_mp: jnp.ndarray  # (K, N) int32 — map point id or -1
+    # --- map points ---
+    mp_pos: jnp.ndarray  # (M, 3)
+    mp_valid: jnp.ndarray  # (M,) bool
+    mp_desc: jnp.ndarray  # (M, 8) uint32 — distinctive descriptor
+    mp_normal: jnp.ndarray  # (M, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray  # (M,) scale-invariance range
+    mp_max_dist: jnp.ndarray  # (M,)
+    mp_ref_kf: jnp.ndarray  # (M,) int32
+    mp_first_kf: jnp.ndarray  # (M,) int32 (culling bookkeeping)
+    mp_obs_kf: jnp.ndarray  # (M, P) int32, -1 empty
+    mp_obs_idx: jnp.ndarray  # (M, P) int32
+    mp_n_obs: jnp.ndarray  # (M,) int32
+
+    @property
+    def capacity(self) -> Tuple[int, int, int, int]:
+        K, N = self.kf_mp.shape
+        M, P = self.mp_obs_kf.shape
+        return K, N, M, P
+
+    def kf_pose(self, k=None) -> SE3:
+        if k is None:
+            return SE3(self.kf_R, self.kf_t)
+        return SE3(self.kf_R[k], self.kf_t[k])
+
+
+def allocate(
+    max_keyframes: int,
+    n_features: int,
+    max_points: int,
+    max_obs: int,
+    dtype=jnp.float32,
+) -> MapState:
+    K, N, M, P = max_keyframes, n_features, max_points, max_obs
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3))
+    return MapState(
+        kf_R=eye,
+        kf_t=jnp.zeros((K, 3), dtype),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, jnp.int32),
+        kf_timestamp=jnp.zeros((K,), jnp.float64),
+        kf_xy=jnp.zeros((K, N, 2), dtype),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), dtype),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_uright=jnp.full((K, N), -1.0, dtype),
+        kf_depth=jnp.full((K, N), -1.0, dtype),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_mp=jnp.full((K, N), -1, jnp.int32),
+        mp_pos=jnp.zeros((M, 3), dtype),
+        mp_valid=jnp.zeros((M,), bool),
+        mp_desc=jnp.zeros((M, 8), jnp.uint32),
+        mp_normal=jnp.zeros((M, 3), dtype),
+        mp_min_dist=jnp.zeros((M,), dtype),
+        mp_max_dist=jnp.full((M,), 1e9, dtype),
+        mp_ref_kf=jnp.full((M,), -1, jnp.int32),
+        mp_first_kf=jnp.full((M,), -1, jnp.int32),
+        mp_obs_kf=jnp.full((M, P), -1, jnp.int32),
+        mp_obs_idx=jnp.full((M, P), -1, jnp.int32),
+        mp_n_obs=jnp.zeros((M,), jnp.int32),
+    )
+
+
+@jax.jit
+def insert_keyframe(
+    state: MapState,
+    slot: jnp.ndarray,
+    pose: SE3,
+    frame_id: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    feats: Features,
+    uright: jnp.ndarray,
+    depth: jnp.ndarray,
+    mp_ids: jnp.ndarray,
+) -> MapState:
+    """Write a keyframe into `slot` and register observations for keypoints
+    already associated to map points (mp_ids[i] >= 0).
+
+    Mirrors Tracking::CreateNewKeyFrame + KeyFrame construction +
+    MapPoint::AddObservation (tracking.cpp:3063, keyframe.cpp,
+    mappoint.cpp). Each keypoint maps to at most one distinct map point, so
+    the observation scatter is collision-free.
+    """
+    M, P = state.mp_obs_kf.shape
+    state = state._replace(
+        kf_R=state.kf_R.at[slot].set(pose.R),
+        kf_t=state.kf_t.at[slot].set(pose.t),
+        kf_valid=state.kf_valid.at[slot].set(True),
+        kf_frame_id=state.kf_frame_id.at[slot].set(frame_id),
+        kf_timestamp=state.kf_timestamp.at[slot].set(timestamp),
+        kf_xy=state.kf_xy.at[slot].set(feats.xy),
+        kf_level=state.kf_level.at[slot].set(feats.level),
+        kf_angle=state.kf_angle.at[slot].set(feats.angle),
+        kf_desc=state.kf_desc.at[slot].set(feats.desc),
+        kf_uright=state.kf_uright.at[slot].set(uright),
+        kf_depth=state.kf_depth.at[slot].set(depth),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
+        kf_mp=state.kf_mp.at[slot].set(jnp.where(feats.valid, mp_ids, -1)),
+    )
+    # add observations mp -> (slot, kp_idx)
+    has_mp = (mp_ids >= 0) & feats.valid
+    mp_safe = jnp.where(has_mp, mp_ids, M - 1)  # dump row for invalid
+    obs_slot = jnp.clip(state.mp_n_obs[mp_safe], 0, P - 1)
+    can_add = has_mp & (state.mp_n_obs[mp_safe] < P)
+    kp_idx = jnp.arange(mp_ids.shape[0], dtype=jnp.int32)
+    write_m = jnp.where(can_add, mp_safe, M - 1)
+    # guard the dump row by restoring it afterwards
+    dump_kf = state.mp_obs_kf[M - 1]
+    dump_idx = state.mp_obs_idx[M - 1]
+    new_obs_kf = state.mp_obs_kf.at[write_m, obs_slot].set(
+        jnp.where(can_add, slot, state.mp_obs_kf[write_m, obs_slot])
+    )
+    new_obs_idx = state.mp_obs_idx.at[write_m, obs_slot].set(
+        jnp.where(can_add, kp_idx, state.mp_obs_idx[write_m, obs_slot])
+    )
+    new_obs_kf = new_obs_kf.at[M - 1].set(dump_kf)
+    new_obs_idx = new_obs_idx.at[M - 1].set(dump_idx)
+    new_n_obs = state.mp_n_obs.at[write_m].add(
+        jnp.where(can_add, 1, 0).astype(jnp.int32)
+    )
+    new_n_obs = new_n_obs.at[M - 1].set(state.mp_n_obs[M - 1])
+    return state._replace(
+        mp_obs_kf=new_obs_kf, mp_obs_idx=new_obs_idx, mp_n_obs=new_n_obs
+    )
+
+
+@jax.jit
+def create_points(
+    state: MapState,
+    base_id: jnp.ndarray,
+    kf_slot: jnp.ndarray,
+    kp_idx: jnp.ndarray,
+    pos: jnp.ndarray,
+    desc: jnp.ndarray,
+    normal: jnp.ndarray,
+    min_dist: jnp.ndarray,
+    max_dist: jnp.ndarray,
+    create: jnp.ndarray,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Create up to C new map points at contiguous ids starting at base_id.
+
+    kp_idx/pos/desc/...: (C,) arrays describing candidate points observed by
+    keyframe `kf_slot` at keypoint kp_idx. `create` masks real candidates.
+    Returns (state, mp_ids (C,)) with -1 where not created.
+
+    Mirrors StereoInitialization / CreateNewKeyFrame close-point creation
+    (tracking.cpp:2167/:3063) and MapPoint construction.
+    """
+    M, P = state.mp_obs_kf.shape
+    C = kp_idx.shape[0]
+    offsets = jnp.cumsum(create.astype(jnp.int32)) - 1
+    ids = jnp.where(create, base_id + offsets, -1)
+    ids_safe = jnp.where(create, ids, M - 1)
+
+    dump = {
+        "pos": state.mp_pos[M - 1],
+        "valid": state.mp_valid[M - 1],
+        "desc": state.mp_desc[M - 1],
+        "normal": state.mp_normal[M - 1],
+        "mind": state.mp_min_dist[M - 1],
+        "maxd": state.mp_max_dist[M - 1],
+        "ref": state.mp_ref_kf[M - 1],
+        "first": state.mp_first_kf[M - 1],
+        "okf": state.mp_obs_kf[M - 1],
+        "oidx": state.mp_obs_idx[M - 1],
+        "nobs": state.mp_n_obs[M - 1],
+    }
+    st = state._replace(
+        mp_pos=state.mp_pos.at[ids_safe].set(pos),
+        mp_valid=state.mp_valid.at[ids_safe].set(True),
+        mp_desc=state.mp_desc.at[ids_safe].set(desc),
+        mp_normal=state.mp_normal.at[ids_safe].set(normal),
+        mp_min_dist=state.mp_min_dist.at[ids_safe].set(min_dist),
+        mp_max_dist=state.mp_max_dist.at[ids_safe].set(max_dist),
+        mp_ref_kf=state.mp_ref_kf.at[ids_safe].set(kf_slot),
+        mp_first_kf=state.mp_first_kf.at[ids_safe].set(kf_slot),
+        mp_obs_kf=state.mp_obs_kf.at[ids_safe, 0].set(
+            jnp.where(create, kf_slot, state.mp_obs_kf[ids_safe, 0])
+        ),
+        mp_obs_idx=state.mp_obs_idx.at[ids_safe, 0].set(
+            jnp.where(create, kp_idx, state.mp_obs_idx[ids_safe, 0])
+        ),
+        mp_n_obs=state.mp_n_obs.at[ids_safe].set(
+            jnp.where(create, 1, state.mp_n_obs[ids_safe])
+        ),
+    )
+    # restore dump row unless it was legitimately allocated
+    top = base_id + jnp.sum(create.astype(jnp.int32))
+    legit = top >= M  # never true in practice (host checks capacity)
+    st = st._replace(
+        mp_pos=jnp.where(legit, st.mp_pos, st.mp_pos.at[M - 1].set(dump["pos"])),
+        mp_valid=jnp.where(
+            legit, st.mp_valid, st.mp_valid.at[M - 1].set(dump["valid"])
+        ),
+        mp_desc=jnp.where(legit, st.mp_desc, st.mp_desc.at[M - 1].set(dump["desc"])),
+        mp_normal=jnp.where(
+            legit, st.mp_normal, st.mp_normal.at[M - 1].set(dump["normal"])
+        ),
+        mp_min_dist=jnp.where(
+            legit, st.mp_min_dist, st.mp_min_dist.at[M - 1].set(dump["mind"])
+        ),
+        mp_max_dist=jnp.where(
+            legit, st.mp_max_dist, st.mp_max_dist.at[M - 1].set(dump["maxd"])
+        ),
+        mp_ref_kf=jnp.where(
+            legit, st.mp_ref_kf, st.mp_ref_kf.at[M - 1].set(dump["ref"])
+        ),
+        mp_first_kf=jnp.where(
+            legit, st.mp_first_kf, st.mp_first_kf.at[M - 1].set(dump["first"])
+        ),
+        mp_obs_kf=jnp.where(
+            legit, st.mp_obs_kf, st.mp_obs_kf.at[M - 1].set(dump["okf"])
+        ),
+        mp_obs_idx=jnp.where(
+            legit, st.mp_obs_idx, st.mp_obs_idx.at[M - 1].set(dump["oidx"])
+        ),
+        mp_n_obs=jnp.where(
+            legit, st.mp_n_obs, st.mp_n_obs.at[M - 1].set(dump["nobs"])
+        ),
+    )
+    # link from the keyframe side
+    kp_safe = jnp.clip(kp_idx, 0, state.kf_mp.shape[1] - 1)
+    kf_mp_row = st.kf_mp[kf_slot]
+    kf_mp_row = kf_mp_row.at[kp_safe].set(
+        jnp.where(create, ids, kf_mp_row[kp_safe])
+    )
+    st = st._replace(kf_mp=st.kf_mp.at[kf_slot].set(kf_mp_row))
+    return st, ids
+
+
+def covisibility_row(state: MapState, kf_slot: int) -> jnp.ndarray:
+    """Covisibility weights of one keyframe vs all others: number of shared
+    map points (KeyFrame::UpdateConnections semantics, keyframe.h:79-86)."""
+    K, N, M, P = state.capacity
+    mp = state.kf_mp[kf_slot]  # (N,)
+    has = mp >= 0
+    mp_safe = jnp.where(has, mp, 0)
+    obs_kf = state.mp_obs_kf[mp_safe]  # (N, P)
+    w = jnp.where(
+        has[:, None] & (obs_kf >= 0), jnp.ones_like(obs_kf, jnp.float32), 0.0
+    )
+    counts = jax.ops.segment_sum(
+        w.reshape(-1), jnp.clip(obs_kf.reshape(-1), 0, K - 1), num_segments=K
+    )
+    counts = counts.at[kf_slot].set(0.0)
+    return counts
+
+
+def positions_of(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
+    safe = jnp.clip(mp_ids, 0, state.mp_pos.shape[0] - 1)
+    return state.mp_pos[safe]
+
+
+@jax.jit
+def update_point_stats(state: MapState, mp_ids: jnp.ndarray) -> MapState:
+    """Refresh normal/scale range and distinctive descriptor for the given
+    points (MapPoint::UpdateNormalAndDepth + ComputeDistinctiveDescriptors
+    semantics, mappoint.cpp). Distinctive descriptor = observation whose
+    descriptor minimizes the median distance to the others; we use the
+    cheaper min-sum criterion, equivalent in practice."""
+    M, P = state.mp_obs_kf.shape
+    ids = jnp.clip(mp_ids, 0, M - 1)
+    obs_kf = state.mp_obs_kf[ids]  # (C, P)
+    obs_idx = state.mp_obs_idx[ids]
+    mask = obs_kf >= 0
+    kf_safe = jnp.where(mask, obs_kf, 0)
+    idx_safe = jnp.where(mask, obs_idx, 0)
+    # camera centers of observing KFs
+    R = state.kf_R[kf_safe]  # (C, P, 3, 3)
+    t = state.kf_t[kf_safe]
+    centers = -jnp.einsum("cpji,cpj->cpi", R, t)  # (C, P, 3) — R^T t with sign
+    pos = state.mp_pos[ids][:, None, :]
+    rays = pos - centers
+    norms = jnp.linalg.norm(rays, axis=-1)
+    rays_n = rays / jnp.maximum(norms[..., None], 1e-9)
+    n_obs = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    normal = jnp.sum(jnp.where(mask[..., None], rays_n, 0.0), axis=1) / n_obs[:, None]
+    # scale range from the reference observation's level (use obs 0)
+    lvl0 = state.kf_level[kf_safe[:, 0], idx_safe[:, 0]]
+    scale = 1.2 ** lvl0.astype(jnp.float32)
+    dist0 = norms[:, 0]
+    max_dist = dist0 * scale
+    min_dist = max_dist / (1.2 ** 7)
+    # distinctive descriptor: min total Hamming distance among observations
+    descs = state.kf_desc[kf_safe, idx_safe]  # (C, P, 8)
+    from vi_slam_tpu.ops.hamming import popcount_u32
+
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]
+    d = jnp.sum(popcount_u32(x), axis=-1).astype(jnp.float32)  # (C, P, P)
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    d = jnp.where(pair_mask, d, 0.0)
+    tot = jnp.sum(d, axis=-1) + jnp.where(mask, 0.0, 1e9)
+    best = jnp.argmin(tot, axis=-1)
+    best_desc = jnp.take_along_axis(
+        descs, best[:, None, None], axis=1
+    )[:, 0]
+    valid_row = jnp.sum(mask, axis=-1) > 0
+    return state._replace(
+        mp_normal=state.mp_normal.at[ids].set(
+            jnp.where(valid_row[:, None], normal, state.mp_normal[ids])
+        ),
+        mp_min_dist=state.mp_min_dist.at[ids].set(
+            jnp.where(valid_row, min_dist, state.mp_min_dist[ids])
+        ),
+        mp_max_dist=state.mp_max_dist.at[ids].set(
+            jnp.where(valid_row, max_dist, state.mp_max_dist[ids])
+        ),
+        mp_desc=state.mp_desc.at[ids].set(
+            jnp.where(valid_row[:, None], best_desc, state.mp_desc[ids])
+        ),
+    )
