@@ -113,8 +113,15 @@ def _build_and_solve(
     prob: BAProblem,
     lam: jnp.ndarray,
     use_huber: bool,
+    axis_name=None,
 ):
-    """One LM system build + Schur solve. Returns (dxc (K,6), dxp (M,3))."""
+    """One LM system build + Schur solve. Returns (dxc (K,6), dxp (M,3)).
+
+    With `axis_name`, the landmark axis is sharded across a device mesh:
+    each device reduces its own landmarks and the camera system is summed
+    with `psum` over the interconnect (the distributed-GBA core,
+    SURVEY §2.4.3). The reduced solve is replicated on every device.
+    """
     K = poses.t.shape[0]
     r, J_cam, J_pt, row_mask = _residuals(cam, poses, points, prob)
     chi2, w, _ = _robust_cost_and_weights(r, row_mask, prob, use_huber)
@@ -152,6 +159,9 @@ def _build_and_solve(
     S = -S_red
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_diag)
     b = bc - b_red_corr
+    if axis_name is not None:
+        S = jax.lax.psum(S, axis_name)
+        b = jax.lax.psum(b, axis_name)
 
     # damping on camera blocks
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
@@ -178,24 +188,28 @@ def _build_and_solve(
     return dxc, dxp
 
 
-@partial(jax.jit, static_argnames=("iters", "use_huber"))
-def bundle_adjust(
+def _ba_core(
     cam: CameraParams,
     prob: BAProblem,
-    iters: int = 10,
-    use_huber: bool = True,
-    lam0: float = 1e-4,
+    iters: int,
+    use_huber: bool,
+    lam0: float,
+    axis_name=None,
 ) -> BAResult:
-    """LM bundle adjustment. Poses and points move; fixed/invalid masked."""
+    """Shared LM loop for single-chip and sharded BA."""
 
     def cost_at(poses, points):
         r, _, _, row_mask = _residuals(cam, poses, points, prob)
         _, _, c = _robust_cost_and_weights(r, row_mask, prob, use_huber)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
         return c
 
     def lm_step(carry, _):
         poses, points, lam, cost = carry
-        dxc, dxp = _build_and_solve(cam, poses, points, prob, lam, use_huber)
+        dxc, dxp = _build_and_solve(
+            cam, poses, points, prob, lam, use_huber, axis_name
+        )
         cand_poses = se3.retract_left(poses, dxc)
         cand_points = points + dxp
         cand_cost = cost_at(cand_poses, cand_points)
@@ -227,3 +241,15 @@ def bundle_adjust(
         obs_inlier=inlier,
         cost=jnp.concatenate([init_cost[None], costs]),
     )
+
+
+@partial(jax.jit, static_argnames=("iters", "use_huber"))
+def bundle_adjust(
+    cam: CameraParams,
+    prob: BAProblem,
+    iters: int = 10,
+    use_huber: bool = True,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """LM bundle adjustment. Poses and points move; fixed/invalid masked."""
+    return _ba_core(cam, prob, iters, use_huber, lam0, axis_name=None)

@@ -1,0 +1,84 @@
+"""Distributed global bundle adjustment: landmarks sharded over a mesh.
+
+Semantic reference: `Optimizer::GlobalBundleAdjustemnt` / `FullInertialBA`
+(`/root/reference/src/optimization/optimizer.cpp:34/:385`) — whole-map BA
+run on a transient thread. The TPU-native redesign (SURVEY §2.4.3 and
+§5.7) shards the *landmark* blocks across devices:
+
+  * every device holds the full (small) camera state, replicated;
+  * each device Schur-eliminates only its own landmark shard;
+  * the reduced camera system (K*6 x K*6) is summed with `psum` over the
+    mesh axis — this is the only collective per iteration, sized
+    independent of the landmark count;
+  * the reduced solve is computed redundantly on every device (cheaper
+    than scattering for K up to a few thousand poses);
+  * back-substitution of landmark updates is embarrassingly parallel.
+
+Scaling: per-iteration FLOPs ~ O(M/D * K * 108) per device + a psum of
+O(K^2 * 36) floats over ICI; efficiency stays high while M/D >> K (the
+usual SLAM regime).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vi_slam_tpu.cameras.base import CameraParams
+from vi_slam_tpu.lie.se3 import SE3
+from vi_slam_tpu.optim.local_ba import BAProblem, BAResult, _ba_core
+
+
+def problem_specs(axis: str) -> BAProblem:
+    """PartitionSpecs for a BAProblem: landmark-axis arrays sharded, camera
+    arrays replicated."""
+    return BAProblem(
+        poses=SE3(P(), P()),
+        fixed=P(),
+        points=P(axis),
+        point_valid=P(axis),
+        obs_cam=P(axis),
+        obs_uvr=P(axis),
+        obs_stereo=P(axis),
+        obs_sigma2=P(axis),
+        obs_mask=P(axis),
+    )
+
+
+def result_specs(axis: str) -> BAResult:
+    return BAResult(
+        poses=SE3(P(), P()),
+        points=P(axis),
+        obs_inlier=P(axis),
+        cost=P(),
+    )
+
+
+def dist_bundle_adjust(
+    cam: CameraParams,
+    prob: BAProblem,
+    mesh: Mesh,
+    iters: int = 10,
+    use_huber: bool = True,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """Run global BA with the landmark axis sharded over `mesh`.
+
+    The landmark dimension of `prob` must be divisible by the mesh size
+    (pad with masked landmarks first).
+    """
+    axis = mesh.axis_names[0]
+    cam_spec = jax.tree.map(lambda _: P(), cam)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(cam_spec, problem_specs(axis)),
+        out_specs=result_specs(axis),
+    )
+    def run(c: CameraParams, p: BAProblem) -> BAResult:
+        return _ba_core(c, p, iters, use_huber, lam0, axis_name=axis)
+
+    return jax.jit(run)(cam, prob)

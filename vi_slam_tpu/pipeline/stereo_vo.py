@@ -106,6 +106,7 @@ class StereoVO:
         with self.timer.stage("extract"):
             featsL = self.extractor(jnp.asarray(img_left, jnp.float32))
             featsR = self.extractor(jnp.asarray(img_right, jnp.float32))
+            self._sync(featsL.desc, featsR.desc)
         with self.timer.stage("stereo_match"):
             pyrL = pyr_ops.build_pyramid(
                 jnp.asarray(img_left, jnp.float32),
@@ -119,6 +120,7 @@ class StereoVO:
                 featsL, featsR, pyrL, pyrR, self.level_scales,
                 self.cam.bf, max_disp=float(self.cam.bf / 0.5),
             )
+            self._sync(sm.depth)
         uright = jnp.where(sm.ok, sm.u_right, -1.0)
         depth = jnp.where(sm.ok, sm.depth, -1.0)
         return self.track(featsL, uright, depth, timestamp)
@@ -166,6 +168,7 @@ class StereoVO:
             mp_ids, mp_mask = steps.gather_local_points(
                 self.map, recent, self.cfg.ba.max_local_points
             )
+            self._sync(mp_ids)
         with self.timer.stage("project_match"):
             proj = steps.project_local_points(
                 self.cam, self.map, mp_ids, mp_mask, T_pred,
@@ -182,6 +185,7 @@ class StereoVO:
                 ratio=self.cfg.matcher.nn_ratio,
             )
             m = match_ops.resolve_duplicate_targets(m, feats.xy.shape[0])
+            self._sync(m.idx)
         with self.timer.stage("pose_opt"):
             obs, kp_idx = steps.build_pose_obs(proj, m, feats, uright)
             T_opt, inlier, n_in = pose_opt.pose_optimize(
@@ -189,6 +193,7 @@ class StereoVO:
                 rounds=self.cfg.ba.pose_rounds,
                 iters=self.cfg.ba.pose_iters_per_round,
             )
+            self._sync(n_in)
         n_in = int(n_in)
         n_matches = int(jnp.sum(m.ok & proj.valid))
         st.n_matches = n_matches
@@ -239,8 +244,10 @@ class StereoVO:
                 self._create_keyframe(
                     feats, uright, depth, matched_mp_per_kp, timestamp
                 )
+                self._sync(self.map.mp_pos)
             with self.timer.stage("local_ba"):
                 self._local_ba()
+                self._sync(self.map.kf_t)
             self.frames_since_kf = 0
             self._ref_kf_tracked = n_in
 
@@ -249,6 +256,10 @@ class StereoVO:
         return st
 
     # ------------------------------------------------------------- helpers
+
+    def _sync(self, *xs):
+        if self.timer.enabled:
+            jax.block_until_ready(xs)
 
     def _recent_kf_slots(self, w: int) -> jnp.ndarray:
         slots = np.full((w,), -1, np.int32)
