@@ -62,17 +62,31 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map (..., 3, 3) -> (..., 3). Stable up to theta < pi."""
+    """Log map (..., 3, 3) -> (..., 3). Stable up to theta < pi.
+
+    Differentiable everywhere: arccos (infinite slope at +-1) is only
+    evaluated on a clipped argument, and the theta->0 region uses a Taylor
+    series in c = 1 - cos(theta) so jacfwd/jacrev stay finite at identity
+    (required by the VI-BA autodiff Jacobians)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # small region must cover the arccos clip band
+    small = cos_theta > 1.0 - 1e-4  # theta < ~1.4e-2
+    cos_safe = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_safe)
     w_vee = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_theta = jnp.sin(theta)
-    small = theta < 1e-5
-    near_pi = jnp.pi - theta < 1e-5
+    # near pi the clipped arccos saturates; recover theta from
+    # cos(theta) = -1 + (pi - theta)^2 / 2 instead
+    near_pi = cos_theta < -1.0 + 2e-6
+    theta_pi = jnp.pi - jnp.sqrt(jnp.clip(2.0 * (1.0 + cos_theta), 0.0, None))
+    theta = jnp.where(near_pi, theta_pi, theta)
     # generic: w = theta / (2 sin theta) * vee(R - R^T)
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_theta), sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    # theta/sin(theta) as a series in c = 1 - cos(theta) (theta^2 = 2c + ...)
+    c = 1.0 - cos_theta
+    scale_small = 1.0 + c / 3.0 + 7.0 * c * c / 90.0
+    scale = jnp.where(small, scale_small, theta / safe_sin)
     w_generic = w_vee * scale[..., None]
     # near pi: |axis| from the diagonal of the symmetric part
     # B = (R + R^T)/2 = cos(theta) I + (1 - cos theta) aa^T

@@ -1,0 +1,147 @@
+"""IMU initialization: solve gravity direction, scale, biases, velocities.
+
+Semantic reference: `Optimizer::InertialOptimization` (4 overloads,
+`/root/reference/src/optimization/optimizer.cpp:4697/:4881/:5041/:5201`) as
+driven by `LocalMapping::InitializeIMU` (localmapping.cpp:1231): with the
+visual poses held fixed, estimate gravity direction Rwg (2 DoF —
+`VertexGDir` g2otypes.h:263), log-scale (mono — `VertexScale` :285), shared
+gyro/acc biases with priors (priorG/priorA), and per-keyframe velocities,
+from the preintegrated IMU chain. The caller then applies
+`Map::ApplyScaledRotation` (map.h:152) to re-express the map in the
+gravity-aligned frame.
+
+TPU design: one GN problem over a flat parameter vector
+[theta_g(2), log_s(1), bg(3), ba(3), vel(K*3)] — tiny — with the full
+Jacobian from `jax.jacfwd` of the stacked residual. No graph machinery.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vi_slam_tpu.imu import preintegration as pre
+from vi_slam_tpu.lie import so3
+from vi_slam_tpu.utils.precision import precise
+
+
+class InertialInit(NamedTuple):
+    Rwg: jnp.ndarray  # (3,3) gravity-aligning rotation: g_world = Rwg @ g0
+    scale: jnp.ndarray  # ()
+    bg: jnp.ndarray  # (3,)
+    ba: jnp.ndarray  # (3,)
+    vel: jnp.ndarray  # (K,3)
+    cost: jnp.ndarray  # (iters+1,)
+
+
+@partial(jax.jit, static_argnames=("iters", "optimize_scale"))
+@precise
+def inertial_init(
+    Rwb: jnp.ndarray,  # (K,3,3) body rotations from vision (fixed)
+    pwb: jnp.ndarray,  # (K,3) body positions from vision (fixed, unscaled)
+    preint: pre.Preintegrated,  # stacked (K-1,) chain
+    valid: jnp.ndarray,  # (K-1,) bool
+    prior_g: float = 1e2,
+    prior_a: float = 1e6,
+    iters: int = 20,
+    optimize_scale: bool = True,
+    gravity_mag: float = pre.GRAVITY,
+) -> InertialInit:
+    """Estimate (Rwg, s, bg, ba, velocities) against fixed visual poses."""
+    K = Rwb.shape[0]
+    dtype = pwb.dtype
+    g0 = jnp.asarray([0.0, 0.0, -gravity_mag], dtype)
+
+    # initial velocity guess from position differences
+    dt = jnp.maximum(preint.dt, 1e-3)  # (K-1,)
+    v_guess = (pwb[1:] - pwb[:-1]) / dt[:, None]
+    v0 = jnp.concatenate([v_guess, v_guess[-1:]], axis=0)
+
+    def unpack(params):
+        theta = params[0:2]
+        log_s = params[2]
+        bg = params[3:6]
+        ba = params[6:9]
+        vel = params[9:].reshape(K, 3)
+        Rwg = so3.exp(jnp.concatenate([theta, jnp.zeros((1,), dtype)]))
+        s = jnp.exp(log_s) if optimize_scale else jnp.ones((), dtype)
+        return Rwg, s, bg, ba, vel
+
+    w = valid.astype(dtype)
+
+    def residuals(params):
+        Rwg, s, bg, ba, vel = unpack(params)
+        g_w = Rwg @ g0
+
+        def edge(p9, R1, p1, R2, p2, v1, v2):
+            return pre.inertial_residual(
+                p9, R1, v1, s * p1, R2, v2, s * p2, bg, ba, g_w
+            )
+
+        r = jax.vmap(edge)(
+            preint, Rwb[:-1], pwb[:-1], Rwb[1:], pwb[1:], vel[:-1], vel[1:]
+        )  # (K-1, 9)
+        info = jax.vmap(pre.information)(preint)  # (K-1,9,9)
+        # whiten: L^T r with info = L L^T (use cholesky)
+        L = jnp.linalg.cholesky(info + 1e-10 * jnp.eye(9, dtype=dtype))
+        rw = jnp.einsum("eij,ei->ej", L, r) * w[:, None]
+        r_prior = jnp.concatenate([
+            jnp.sqrt(jnp.asarray(prior_g, dtype)) * bg,
+            jnp.sqrt(jnp.asarray(prior_a, dtype)) * ba,
+        ])
+        return jnp.concatenate([rw.reshape(-1), r_prior])
+
+    n_params = 9 + 3 * K
+    params = jnp.zeros((n_params,), dtype).at[9:].set(v0.reshape(-1))
+
+    def gn_step(carry, _):
+        params, cost, lam = carry
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)
+        H = J.T @ J
+        g = J.T @ r
+        damp = lam * (jnp.trace(H) / n_params) + 1e-10
+        dx = -jnp.linalg.solve(H + damp * jnp.eye(n_params, dtype=dtype), g)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        cand = params + dx
+        cand_cost = jnp.sum(residuals(cand) ** 2)
+        accept = cand_cost < cost
+        params = jnp.where(accept, cand, params)
+        cost = jnp.where(accept, cand_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e3)
+        return (params, cost, lam), cost
+
+    cost0 = jnp.sum(residuals(params) ** 2)
+    lam0 = jnp.asarray(1e-4, dtype)
+    (params, _, _), costs = jax.lax.scan(
+        gn_step, (params, cost0, lam0), None, length=iters
+    )
+    Rwg, s, bg, ba, vel = unpack(params)
+    return InertialInit(
+        Rwg=Rwg, scale=s, bg=bg, ba=ba, vel=vel,
+        cost=jnp.concatenate([cost0[None], costs]),
+    )
+
+
+def apply_scaled_rotation(
+    Rcw: jnp.ndarray,  # (K,3,3) camera-from-world rotations
+    tcw: jnp.ndarray,  # (K,3)
+    points: jnp.ndarray,  # (M,3)
+    vel: jnp.ndarray,  # (K,3) world velocities
+    Rwg: jnp.ndarray,
+    scale: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Re-express the whole map in the gravity-aligned, metric frame
+    (Map::ApplyScaledRotation semantics, map.h:152): world' = Ryw @ world
+    with Ryw = Rwg^T, positions scaled by s.
+
+    Poses transform as Tcw' = Tcw ∘ Tw w' = [Rcw Rwg | s * tcw]."""
+    Rgw = jnp.swapaxes(Rwg, -1, -2)
+    Rcw2 = jnp.einsum("kij,jl->kil", Rcw, jnp.swapaxes(Rgw, -1, -2))
+    tcw2 = scale * tcw
+    pts2 = scale * jnp.einsum("ij,mj->mi", Rgw, points)
+    vel2 = scale * jnp.einsum("ij,kj->ki", Rgw, vel)
+    return Rcw2, tcw2, pts2, vel2

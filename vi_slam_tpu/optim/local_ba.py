@@ -38,6 +38,7 @@ from vi_slam_tpu.cameras import pinhole
 from vi_slam_tpu.lie import se3, so3
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.optim import robust
+from vi_slam_tpu.utils.precision import precise
 
 
 class BAProblem(NamedTuple):
@@ -106,21 +107,22 @@ def _robust_cost_and_weights(r, row_mask, prob: BAProblem, use_huber: bool):
     return chi2, w, cost
 
 
-def _build_and_solve(
+
+def _visual_reduced_system(
     cam: CameraParams,
     poses: SE3,
     points: jnp.ndarray,
     prob: BAProblem,
     lam: jnp.ndarray,
     use_huber: bool,
-    axis_name=None,
 ):
-    """One LM system build + Schur solve. Returns (dxc (K,6), dxp (M,3)).
+    """Schur-reduce the landmark blocks of the visual problem.
 
-    With `axis_name`, the landmark axis is sharded across a device mesh:
-    each device reduces its own landmarks and the camera system is summed
-    with `psum` over the interconnect (the distributed-GBA core,
-    SURVEY §2.4.3). The reduced solve is replicated on every device.
+    Returns (S (K,K,6,6) reduced camera system incl. H_cc diagonal,
+    b (K,6) reduced gradient, U (M,K,6,3), Hpp_inv (M,3,3), bp (M,3)) —
+    the pieces needed for the camera solve and landmark back-substitution.
+    Shared by visual-only BA, sharded GBA, and visual-inertial BA (which
+    embeds S into wider state blocks).
     """
     K = poses.t.shape[0]
     r, J_cam, J_pt, row_mask = _residuals(cam, poses, points, prob)
@@ -159,20 +161,51 @@ def _build_and_solve(
     S = -S_red
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_diag)
     b = bc - b_red_corr
+    return S, b, U, Hpp_inv, bp
+
+
+def back_substitute_points(U, Hpp_inv, bp, dxc):
+    """Landmark updates given camera updates: dxp = Hpp^-1 (-bp - U^T dxc)."""
+    Ut_dxc = jnp.einsum("mkis,ki->ms", U, dxc)  # (M,3)
+    dxp = jnp.einsum("mij,mj->mi", Hpp_inv, -bp - Ut_dxc)
+    return jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+
+
+def _build_and_solve(
+    cam: CameraParams,
+    poses: SE3,
+    points: jnp.ndarray,
+    prob: BAProblem,
+    lam: jnp.ndarray,
+    use_huber: bool,
+    axis_name=None,
+):
+    """One LM system build + Schur solve. Returns (dxc (K,6), dxp (M,3)).
+
+    With `axis_name`, the landmark axis is sharded across a device mesh:
+    each device reduces its own landmarks and the camera system is summed
+    with `psum` over the interconnect (the distributed-GBA core,
+    SURVEY §2.4.3). The reduced solve is replicated on every device.
+    """
+    K = poses.t.shape[0]
+    S, b, U, Hpp_inv, bp = _visual_reduced_system(
+        cam, poses, points, prob, lam, use_huber
+    )
     if axis_name is not None:
         S = jax.lax.psum(S, axis_name)
         b = jax.lax.psum(b, axis_name)
+    r_dtype = S.dtype
 
     # damping on camera blocks
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        lam[..., None, None] * jnp.eye(6, dtype=r.dtype)
+        lam[..., None, None] * jnp.eye(6, dtype=r_dtype)
     )
 
     # fixed cameras: zero rows/cols, identity diagonal, zero rhs
-    free = (~prob.fixed).astype(r.dtype)
+    free = (~prob.fixed).astype(r_dtype)
     S = S * free[:, None, None, None] * free[None, :, None, None]
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        (1.0 - free)[:, None, None] * jnp.eye(6, dtype=r.dtype)
+        (1.0 - free)[:, None, None] * jnp.eye(6, dtype=r_dtype)
     )
     b = b * free[:, None]
 
@@ -181,10 +214,7 @@ def _build_and_solve(
     dxc = -jnp.linalg.solve(S_dense, b_dense).reshape(K, 6)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
 
-    # back-substitute landmarks: dxp = Hpp^-1 (-bp - U^T dxc)
-    Ut_dxc = jnp.einsum("mkis,ki->ms", U, dxc)  # (M,3)
-    dxp = jnp.einsum("mij,mj->mi", Hpp_inv, -bp - Ut_dxc)
-    dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+    dxp = back_substitute_points(U, Hpp_inv, bp, dxc)
     return dxc, dxp
 
 
@@ -244,6 +274,7 @@ def _ba_core(
 
 
 @partial(jax.jit, static_argnames=("iters", "use_huber"))
+@precise
 def bundle_adjust(
     cam: CameraParams,
     prob: BAProblem,

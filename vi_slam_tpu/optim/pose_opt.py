@@ -25,6 +25,7 @@ from vi_slam_tpu.cameras import pinhole
 from vi_slam_tpu.lie import se3, so3
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.optim import robust
+from vi_slam_tpu.utils.precision import precise
 
 
 class PoseObs(NamedTuple):
@@ -68,6 +69,7 @@ def _chi2(r: jnp.ndarray, row_mask: jnp.ndarray, sigma2: jnp.ndarray) -> jnp.nda
 
 
 @partial(jax.jit, static_argnames=("rounds", "iters", "use_huber_rounds"))
+@precise
 def pose_optimize(
     cam: CameraParams,
     T_init: SE3,

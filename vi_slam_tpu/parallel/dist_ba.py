@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from vi_slam_tpu.cameras.base import CameraParams
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.optim.local_ba import BAProblem, BAResult, _ba_core
+from vi_slam_tpu.utils.precision import precise
 
 
 def problem_specs(axis: str) -> BAProblem:
@@ -78,6 +79,7 @@ def dist_bundle_adjust(
         in_specs=(cam_spec, problem_specs(axis)),
         out_specs=result_specs(axis),
     )
+    @precise
     def run(c: CameraParams, p: BAProblem) -> BAResult:
         return _ba_core(c, p, iters, use_huber, lam0, axis_name=axis)
 

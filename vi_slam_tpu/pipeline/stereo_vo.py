@@ -1,4 +1,4 @@
-"""Stereo visual odometry pipeline: the host state machine over jitted steps.
+"""Stereo visual odometry pipeline: host state machine over fused device steps.
 
 Semantic reference: `Tracking::Track` and friends
 (`/root/reference/src/core/tracking.cpp:1661` — state machine,
@@ -7,11 +7,18 @@ Semantic reference: `Tracking::Track` and friends
 plus the LocalMapping duties run synchronously per keyframe
 (`localmapping.cpp:50-260`: point creation, local BA).
 
-TPU design: all numerics (projection, matching, pose GN, BA) run as jitted
-static-shape device programs; the host only sequences them and keeps
-scalar bookkeeping (slot counters, state machine). The reference's
-tracking/mapping thread pair becomes a synchronous call today; JAX async
-dispatch already overlaps the BA with the next frame's host work.
+TPU design — built for a device behind a high-latency link:
+  * ONE jitted program per frame (`_frame_core`): extraction, stereo
+    association, local-map projection matching (narrow + wide fallback,
+    both computed, branch-free select), and pose GN, returning a small
+    scalar bundle. The only per-frame transfers are the stereo image
+    upload and one bundle download.
+  * Pose and velocity live on device between frames; the host keeps numpy
+    mirrors (filled from the bundle it already downloads) for bookkeeping.
+  * Keyframe creation and local BA are one fused dispatch each, invoked
+    only on keyframe frames; the map pytree is donated to avoid copies.
+  * The reference's tracking/mapping thread pair becomes async dispatch:
+    the BA dispatch overlaps the next frame's host work.
 
 Trajectory bookkeeping follows the reference: each frame stores its pose
 relative to its reference keyframe, so BA corrections propagate to the
@@ -20,15 +27,15 @@ final trajectory (`System::SaveTrajectoryKITTI` system.cpp:645 semantics).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from functools import partial
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
 from vi_slam_tpu.features.extractor import Features, OrbExtractor
 from vi_slam_tpu.lie import se3
 from vi_slam_tpu.lie.se3 import SE3
@@ -40,6 +47,7 @@ from vi_slam_tpu.optim import pose_opt
 from vi_slam_tpu.pipeline import steps
 from vi_slam_tpu.slam_map import state as map_state
 from vi_slam_tpu.utils.config import SystemConfig
+from vi_slam_tpu.utils.precision import precise
 from vi_slam_tpu.utils.timing import StageTimer
 
 NOT_INITIALIZED = "NOT_INITIALIZED"
@@ -47,12 +55,27 @@ OK = "OK"
 LOST = "LOST"
 
 
+class TrackBundle(NamedTuple):
+    """Per-frame device outputs; scalars are downloaded, arrays stay."""
+
+    T_R: jnp.ndarray  # (3,3) optimized Tcw
+    T_t: jnp.ndarray  # (3,)
+    vel_R: jnp.ndarray  # (3,3) new velocity (T_cur ∘ T_last^-1)
+    vel_t: jnp.ndarray  # (3,)
+    n_in: jnp.ndarray  # () int32
+    n_matches: jnp.ndarray
+    n_local: jnp.ndarray
+    n_tracked_close: jnp.ndarray
+    n_creatable: jnp.ndarray
+    matched_mp: jnp.ndarray  # (N,) int32 — stays on device
+
+
 @dataclass
 class FrameRecord:
     frame_id: int
     timestamp: float
     ref_kf: int
-    T_rel: np.ndarray  # (4,4) Tcw_frame @ Twc_refkf  (camera-from-refKF)
+    T_rel: np.ndarray  # (4,4) Tcw_frame @ Twc_refkf
     state: str
 
 
@@ -85,8 +108,6 @@ class StereoVO:
         self.n_kf = 0
         self.n_mp = 0
         self.state = NOT_INITIALIZED
-        self.T_cw = SE3.identity()
-        self.velocity = SE3.identity()  # T_cw(t) @ T_wc(t-1)
         self.ref_kf = -1
         self.frames_since_kf = 0
         self.frame_id = -1
@@ -97,37 +118,200 @@ class StereoVO:
         )
         self._ref_kf_tracked = 0
 
+        # device-resident pose state + host mirrors
+        self.T_dev = SE3.identity()
+        self.vel_dev = SE3.identity()
+        self.T_np = np.eye(4)
+        self.ref_pose_np = np.eye(4)  # Tcw of reference keyframe
+        self._recent_cache = {}
+
+        self._build_device_fns()
+
+    # ----------------------------------------------------- device programs
+
+    def _build_device_fns(self):
+        cfg = self.cfg
+        cam = self.cam
+        ext_cfg = cfg.extractor
+        W, H = cfg.camera.width, cfg.camera.height
+        n_local = cfg.ba.max_local_points
+        radius = cfg.tracker.search_radius
+        th_high = cfg.matcher.th_high
+        ratio = cfg.matcher.nn_ratio
+        rounds = cfg.ba.pose_rounds
+        iters = cfg.ba.pose_iters_per_round
+        close_depth = self.close_depth
+        min_matches = cfg.tracker.min_matches_motion
+        level_scales = self.level_scales
+        n_feats = ext_cfg.n_features
+
+        @precise
+        def _track(mstate, recent, feats, uright, depth, T_last, vel):
+            T_pred = vel.compose(T_last)
+            mp_ids, mp_mask = steps.gather_local_points(mstate, recent, n_local)
+            proj = steps.project_local_points(
+                cam, mstate, mp_ids, mp_mask, T_pred, W, H,
+                n_levels=ext_cfg.n_levels, scale_factor=ext_cfg.scale_factor,
+            )
+
+            def run_match(rad, T_init):
+                m = match_ops.search_by_projection(
+                    proj.uv, proj.level, proj.desc, proj.valid,
+                    feats.xy, feats.level, feats.desc, feats.valid,
+                    radius=rad, level_scales=level_scales,
+                    max_dist=th_high, ratio=ratio,
+                )
+                m = match_ops.resolve_duplicate_targets(m, n_feats)
+                obs, kp_idx = steps.build_pose_obs(proj, m, feats, uright)
+                T_opt, inlier, n_in = pose_opt.pose_optimize(
+                    cam, T_init, obs, rounds=rounds, iters=iters,
+                )
+                return m, kp_idx, T_opt, inlier, n_in
+
+            m1, kp1, T1, in1, n1 = run_match(radius, T_pred)
+            m2, kp2, T2, in2, n2 = run_match(3.0 * radius, T_last)
+            use_wide = n1 < min_matches
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(use_wide, y, x), a, b
+            )
+            m, kp_idx, T, inlier, n_in = (
+                pick(m1, m2), pick(kp1, kp2), pick(T1, T2),
+                pick(in1, in2), jnp.where(use_wide, n2, n1),
+            )
+
+            ok = m.ok & proj.valid & inlier
+            matched_mp = steps.scatter_matches_to_kps(
+                n_feats, kp_idx, jnp.where(mp_ids >= 0, mp_ids, -1), ok
+            )
+            vel_new = T.compose(T_last.inverse())
+            close = (depth > 0) & (depth < close_depth) & feats.valid
+            has_mp = matched_mp >= 0
+            return TrackBundle(
+                T_R=T.R, T_t=T.t, vel_R=vel_new.R, vel_t=vel_new.t,
+                n_in=n_in.astype(jnp.int32),
+                n_matches=jnp.sum(m.ok & proj.valid).astype(jnp.int32),
+                n_local=jnp.sum(mp_mask).astype(jnp.int32),
+                n_tracked_close=jnp.sum(close & has_mp).astype(jnp.int32),
+                n_creatable=jnp.sum(close & ~has_mp).astype(jnp.int32),
+                matched_mp=matched_mp,
+            )
+
+        self._track_fn = jax.jit(_track)
+
+        def _extract_pair(img_l, img_r):
+            featsL = self.extractor._extract(img_l)
+            featsR = self.extractor._extract(img_r)
+            pyrL = pyr_ops.build_pyramid(img_l, ext_cfg.n_levels, ext_cfg.scale_factor)
+            pyrR = pyr_ops.build_pyramid(img_r, ext_cfg.n_levels, ext_cfg.scale_factor)
+            sm = stereo_ops.match_stereo(
+                featsL, featsR, pyrL, pyrR, level_scales, cam.bf,
+                max_disp=float(cfg.camera.bf / 0.5),
+            )
+            uright = jnp.where(sm.ok, sm.u_right, -1.0)
+            depth = jnp.where(sm.ok, sm.depth, -1.0)
+            return featsL, uright, depth
+
+        def _frame(img_l, img_r, mstate, recent, T_last, vel):
+            feats, uright, depth = _extract_pair(img_l, img_r)
+            bundle = _track(mstate, recent, feats, uright, depth, T_last, vel)
+            return bundle, feats, uright, depth
+
+        self._frame_fn = jax.jit(_frame)
+        self._extract_pair_fn = jax.jit(_extract_pair)
+
+        @precise
+        def _create_kf(mstate, slot, T, frame_id, ts, feats, uright, depth,
+                       matched_mp, base_id, budget):
+            mstate = map_state.insert_keyframe(
+                mstate, slot, T, frame_id, ts, feats, uright, depth, matched_mp
+            )
+            M = mstate.mp_pos.shape[0]
+            can = (
+                feats.valid & (depth > 0) & (depth < 2.0 * close_depth)
+                & (matched_mp < 0)
+            )
+            dvals = jnp.where(can, depth, jnp.inf)
+            neg_top, sel = jax.lax.top_k(-dvals, budget)
+            sel = sel.astype(jnp.int32)
+            create0 = jnp.isfinite(-neg_top)
+            offsets = jnp.cumsum(create0.astype(jnp.int32)) - 1
+            create = create0 & (base_id + offsets < M - 1)
+
+            kp_xy = feats.xy[sel]
+            kp_depth = depth[sel]
+            bearing = jnp.stack(
+                [
+                    (kp_xy[:, 0] - cam.cx) / cam.fx,
+                    (kp_xy[:, 1] - cam.cy) / cam.fy,
+                    jnp.ones_like(kp_depth),
+                ],
+                axis=-1,
+            )
+            pc = bearing * kp_depth[:, None]
+            Twc = T.inverse()
+            pw = Twc.apply(pc)
+            center = Twc.t
+            rays = pw - center
+            dist = jnp.linalg.norm(rays, axis=-1)
+            normal = rays / jnp.maximum(dist[:, None], 1e-9)
+            lvl = feats.level[sel].astype(jnp.float32)
+            sf = ext_cfg.scale_factor
+            max_dist = dist * sf ** lvl
+            min_dist = max_dist / sf ** (ext_cfg.n_levels - 1)
+
+            mstate, ids = map_state.create_points(
+                mstate, base_id, slot, sel, pw, feats.desc[sel],
+                normal, min_dist, max_dist, create,
+            )
+            # refresh stats for points matched in this frame
+            upd_ids = jnp.where(matched_mp >= 0, matched_mp, M - 1)
+            mstate = map_state.update_point_stats(mstate, upd_ids)
+            return mstate, jnp.sum(create).astype(jnp.int32)
+
+        self._create_kf_fn = jax.jit(
+            _create_kf, static_argnames=("budget",), donate_argnums=(0,)
+        )
+
+        ba_cfg = cfg.ba
+
+        @precise
+        def _local_ba(mstate, window, fixed, ref_slot):
+            mp_ids, _ = steps.gather_local_points(
+                mstate, window, ba_cfg.max_local_points
+            )
+            prob = steps.gather_ba_problem(
+                cam, mstate, window, fixed, mp_ids,
+                n_window=ba_cfg.max_local_kfs,
+                n_points=ba_cfg.max_local_points,
+                n_obs=cfg.map.max_obs_per_point,
+            )
+            res = ba._ba_core(cam, prob, ba_cfg.local_ba_iters, True, 1e-4)
+            mstate = steps.scatter_ba_result(
+                mstate, window, fixed, mp_ids, res.poses, res.points
+            )
+            return mstate, mstate.kf_R[ref_slot], mstate.kf_t[ref_slot]
+
+        self._local_ba_fn = jax.jit(_local_ba, donate_argnums=(0,))
+
     # ------------------------------------------------------------------ API
 
     def process_stereo(self, img_left, img_right, timestamp: float) -> TrackStats:
-        """Full image path: extract ORB on both images, associate stereo,
-        then track (GrabImageStereo semantics, tracking.cpp:1229)."""
-        cfg = self.cfg
-        with self.timer.stage("extract"):
-            featsL = self.extractor(jnp.asarray(img_left, jnp.float32))
-            featsR = self.extractor(jnp.asarray(img_right, jnp.float32))
-            self._sync(featsL.desc, featsR.desc)
-        with self.timer.stage("stereo_match"):
-            pyrL = pyr_ops.build_pyramid(
-                jnp.asarray(img_left, jnp.float32),
-                cfg.extractor.n_levels, cfg.extractor.scale_factor,
+        """Full image path (GrabImageStereo semantics, tracking.cpp:1229)."""
+        img_l = jnp.asarray(img_left, jnp.float32)
+        img_r = jnp.asarray(img_right, jnp.float32)
+        if self.state == NOT_INITIALIZED:
+            feats, uright, depth = self._extract_pair_fn(img_l, img_r)
+            return self._track_entry(feats, uright, depth, timestamp, None)
+        with self.timer.stage("frame_core"):
+            bundle, feats, uright, depth = self._frame_fn(
+                img_l, img_r, self.map, self._recent_kfs(), self.T_dev,
+                self.vel_dev,
             )
-            pyrR = pyr_ops.build_pyramid(
-                jnp.asarray(img_right, jnp.float32),
-                cfg.extractor.n_levels, cfg.extractor.scale_factor,
-            )
-            sm = stereo_ops.match_stereo(
-                featsL, featsR, pyrL, pyrR, self.level_scales,
-                self.cam.bf, max_disp=float(self.cam.bf / 0.5),
-            )
-            self._sync(sm.depth)
-        uright = jnp.where(sm.ok, sm.u_right, -1.0)
-        depth = jnp.where(sm.ok, sm.depth, -1.0)
-        return self.track(featsL, uright, depth, timestamp)
+            self._sync(bundle.n_in)
+        return self._track_entry(feats, uright, depth, timestamp, bundle)
 
     def process_oracle(self, xy, uright, depth, desc, level, timestamp: float) -> TrackStats:
-        """Oracle-feature path (tests/benchmarks without the image frontend):
-        provide keypoints, stereo u_right, depth, descriptors directly."""
+        """Oracle-feature path (tests/benchmarks without the image frontend)."""
         n = self.cfg.extractor.n_features
         v = np.zeros((n,), bool)
         cnt = min(len(xy), n)
@@ -148,111 +332,74 @@ class StereoVO:
         )
         ur = jnp.asarray(pad(uright, (n,), -1.0))
         dp = jnp.asarray(pad(depth, (n,), -1.0))
-        return self.track(feats, ur, dp, timestamp)
+        bundle = None
+        if self.state != NOT_INITIALIZED:
+            bundle = self._track_fn(
+                self.map, self._recent_kfs(), feats, ur, dp, self.T_dev,
+                self.vel_dev,
+            )
+        return self._track_entry(feats, ur, dp, timestamp, bundle)
 
     # ------------------------------------------------------------- tracking
 
-    def track(self, feats: Features, uright, depth, timestamp: float) -> TrackStats:
+    def _track_entry(self, feats, uright, depth, timestamp, bundle) -> TrackStats:
         self.frame_id += 1
         st = TrackStats()
         if self.state == NOT_INITIALIZED:
             ok = self._initialize(feats, uright, depth, timestamp)
             st.n_kfs, st.n_mps = self.n_kf, self.n_mp
             self._record(timestamp, LOST if not ok else OK)
+            self.stats.append(st)
             return st
 
-        # --- pose prediction + local-map tracking ---
-        T_pred = self.velocity.compose(self.T_cw)
-        recent = self._recent_kf_slots(self.cfg.ba.max_local_kfs)
-        with self.timer.stage("local_points"):
-            mp_ids, mp_mask = steps.gather_local_points(
-                self.map, recent, self.cfg.ba.max_local_points
+        with self.timer.stage("host_pull"):
+            sc = jax.device_get(
+                {
+                    "n_in": bundle.n_in, "n_matches": bundle.n_matches,
+                    "n_local": bundle.n_local,
+                    "n_tracked_close": bundle.n_tracked_close,
+                    "n_creatable": bundle.n_creatable,
+                    "T_R": bundle.T_R, "T_t": bundle.T_t,
+                }
             )
-            self._sync(mp_ids)
-        with self.timer.stage("project_match"):
-            proj = steps.project_local_points(
-                self.cam, self.map, mp_ids, mp_mask, T_pred,
-                self.cfg.camera.width, self.cfg.camera.height,
-                n_levels=self.cfg.extractor.n_levels,
-                scale_factor=self.cfg.extractor.scale_factor,
-            )
-            m = match_ops.search_by_projection(
-                proj.uv, proj.level, proj.desc, proj.valid,
-                feats.xy, feats.level, feats.desc, feats.valid,
-                radius=self.cfg.tracker.search_radius,
-                level_scales=self.level_scales,
-                max_dist=self.cfg.matcher.th_high,
-                ratio=self.cfg.matcher.nn_ratio,
-            )
-            m = match_ops.resolve_duplicate_targets(m, feats.xy.shape[0])
-            self._sync(m.idx)
-        with self.timer.stage("pose_opt"):
-            obs, kp_idx = steps.build_pose_obs(proj, m, feats, uright)
-            T_opt, inlier, n_in = pose_opt.pose_optimize(
-                self.cam, T_pred, obs,
-                rounds=self.cfg.ba.pose_rounds,
-                iters=self.cfg.ba.pose_iters_per_round,
-            )
-            self._sync(n_in)
-        n_in = int(n_in)
-        n_matches = int(jnp.sum(m.ok & proj.valid))
-        st.n_matches = n_matches
+        n_in = int(sc["n_in"])
+        st.n_matches = int(sc["n_matches"])
         st.n_inliers = n_in
-        st.n_local_points = int(jnp.sum(mp_mask))
+        st.n_local_points = int(sc["n_local"])
 
-        if n_in < self.cfg.tracker.min_matches_motion:
-            # retry from last pose with a wider window (reference fallback
-            # ladder: reloc comes later; here widen once, else LOST)
-            m2 = match_ops.search_by_projection(
-                proj.uv, proj.level, proj.desc, proj.valid,
-                feats.xy, feats.level, feats.desc, feats.valid,
-                radius=3.0 * self.cfg.tracker.search_radius,
-                level_scales=self.level_scales,
-                max_dist=self.cfg.matcher.th_high,
-                ratio=self.cfg.matcher.nn_ratio,
-            )
-            m2 = match_ops.resolve_duplicate_targets(m2, feats.xy.shape[0])
-            obs, kp_idx = steps.build_pose_obs(proj, m2, feats, uright)
-            T_opt, inlier, n_in_w = pose_opt.pose_optimize(
-                self.cam, self.T_cw, obs,
-                rounds=self.cfg.ba.pose_rounds,
-                iters=self.cfg.ba.pose_iters_per_round,
-            )
-            n_in = int(n_in_w)
-            m = m2
-            st.n_inliers = n_in
-            if n_in < max(self.cfg.tracker.min_matches_motion // 2, 10):
-                self.state = LOST
-                self._record(timestamp, LOST)
-                st.n_kfs, st.n_mps = self.n_kf, self.n_mp
-                return st
+        if n_in < max(self.cfg.tracker.min_matches_motion // 2, 10):
+            # both narrow and wide searches failed
+            self.state = LOST
+            self._record(timestamp, LOST)
+            st.n_kfs, st.n_mps = self.n_kf, self.n_mp
+            self.stats.append(st)
+            return st
 
         # accept
-        T_last = self.T_cw
-        self.T_cw = T_opt
-        self.velocity = T_opt.compose(T_last.inverse())
+        self.T_dev = SE3(bundle.T_R, bundle.T_t)
+        self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
+        T_np = np.eye(4)
+        T_np[:3, :3] = sc["T_R"]
+        T_np[:3, 3] = sc["T_t"]
+        self.T_np = T_np
         self.state = OK
         self.frames_since_kf += 1
 
-        # --- keyframe decision ---
-        matched_mp_per_kp = steps.scatter_matches_to_kps(
-            feats.xy.shape[0], kp_idx,
-            jnp.where(mp_ids >= 0, mp_ids, -1), m.ok & proj.valid & inlier,
-        )
-        if self._need_keyframe(feats, depth, matched_mp_per_kp, n_in):
+        if self._need_keyframe(
+            n_in, int(sc["n_tracked_close"]), int(sc["n_creatable"])
+        ):
             with self.timer.stage("keyframe"):
                 self._create_keyframe(
-                    feats, uright, depth, matched_mp_per_kp, timestamp
+                    feats, uright, depth, bundle.matched_mp, timestamp
                 )
-                self._sync(self.map.mp_pos)
             with self.timer.stage("local_ba"):
                 self._local_ba()
-                self._sync(self.map.kf_t)
             self.frames_since_kf = 0
             self._ref_kf_tracked = n_in
 
         self._record(timestamp, OK)
         st.n_kfs, st.n_mps = self.n_kf, self.n_mp
+        self.stats.append(st)
         return st
 
     # ------------------------------------------------------------- helpers
@@ -261,120 +408,58 @@ class StereoVO:
         if self.timer.enabled:
             jax.block_until_ready(xs)
 
-    def _recent_kf_slots(self, w: int) -> jnp.ndarray:
-        slots = np.full((w,), -1, np.int32)
-        n = min(w, self.n_kf)
-        if n > 0:
-            slots[:n] = np.arange(self.n_kf - n, self.n_kf, dtype=np.int32)
-        return jnp.asarray(slots)
+    def _recent_kfs(self) -> jnp.ndarray:
+        w = self.cfg.ba.max_local_kfs
+        key = (self.n_kf, w)
+        if key not in self._recent_cache:
+            slots = np.full((w,), -1, np.int32)
+            n = min(w, self.n_kf)
+            if n > 0:
+                slots[:n] = np.arange(self.n_kf - n, self.n_kf, dtype=np.int32)
+            self._recent_cache = {key: jnp.asarray(slots)}  # keep only latest
+        return self._recent_cache[key]
 
     def _initialize(self, feats, uright, depth, timestamp) -> bool:
-        """StereoInitialization (tracking.cpp:2167): create KF 0 + points
-        for every stereo-valid keypoint."""
-        good = np.asarray(feats.valid & (depth > 0))
-        if good.sum() < 100:
+        """StereoInitialization (tracking.cpp:2167)."""
+        n_good = int(jnp.sum(feats.valid & (depth > 0)))
+        if n_good < 100:
             return False
-        self.T_cw = SE3.identity()
+        self.T_dev = SE3.identity()
+        self.vel_dev = SE3.identity()
+        self.T_np = np.eye(4)
         self._create_keyframe(
             feats, uright, depth,
             jnp.full((feats.xy.shape[0],), -1, jnp.int32), timestamp,
         )
         self.state = OK
-        self._ref_kf_tracked = int(good.sum())
+        self._ref_kf_tracked = n_good
         return True
 
-    def _need_keyframe(self, feats, depth, matched_mp, n_in) -> bool:
+    def _need_keyframe(self, n_in, n_tracked_close, n_creatable) -> bool:
         """NeedNewKeyFrame (tracking.cpp:2925), stereo conditions."""
         if self.n_kf >= self.map.kf_R.shape[0] - 1:
             return False
         if self.frames_since_kf >= self.cfg.tracker.max_frames_between_kf:
             return True
-        close = np.asarray(
-            (depth > 0) & (depth < self.close_depth) & feats.valid
-        )
-        tracked_close = np.asarray(matched_mp >= 0) & close
-        n_tracked_close = int(tracked_close.sum())
-        n_creatable = int((close & ~np.asarray(matched_mp >= 0)).sum())
         need_close = n_tracked_close < 100 and n_creatable > 70
         weak = n_in < self.cfg.tracker.kf_ref_ratio * max(self._ref_kf_tracked, 1)
         return bool(need_close or weak)
 
     def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp):
-        """CreateNewKeyFrame (tracking.cpp:3063): insert KF, then create
-        map points for close stereo keypoints without a match."""
+        """CreateNewKeyFrame (tracking.cpp:3063) as one fused dispatch."""
         slot = self.n_kf
         self.n_kf += 1
-        self.map = map_state.insert_keyframe(
-            self.map, jnp.int32(slot), self.T_cw,
-            jnp.int32(self.frame_id),
+        budget = 1024 if slot == 0 else 384
+        self.map, n_created = self._create_kf_fn(
+            self.map, jnp.int32(slot), self.T_dev, jnp.int32(self.frame_id),
             jnp.asarray(timestamp, self.map.kf_timestamp.dtype),
-            feats, uright, depth, matched_mp,
+            feats, uright, depth, matched_mp, jnp.int32(self.n_mp),
+            budget,
         )
+        self.n_mp += int(n_created)
         self.ref_kf = slot
-
-        # candidate new points: close stereo, unmatched
-        can = (
-            np.asarray(feats.valid)
-            & (np.asarray(depth) > 0)
-            & (np.asarray(depth) < self.close_depth * 2.0)
-            & (np.asarray(matched_mp) < 0)
-        )
-        per_kf_budget = 1024 if slot == 0 else 384
-        n_cap = min(
-            int(can.sum()), per_kf_budget,
-            self.map.mp_pos.shape[0] - 1 - self.n_mp,
-        )
-        if n_cap <= 0:
-            return
-        # choose the closest candidates (reference keeps nearest 100+ pts)
-        dvals = np.where(can, np.asarray(depth), np.inf)
-        sel = np.argsort(dvals)[:n_cap].astype(np.int32)
-        create = np.asarray(dvals[sel] < np.inf)
-
-        kp_xy = np.asarray(feats.xy)[sel]
-        kp_depth = np.asarray(depth)[sel]
-        # backproject to world
-        bearing = np.stack(
-            [
-                (kp_xy[:, 0] - float(self.cam.cx)) / float(self.cam.fx),
-                (kp_xy[:, 1] - float(self.cam.cy)) / float(self.cam.fy),
-                np.ones(len(sel)),
-            ],
-            axis=-1,
-        )
-        pc = bearing * kp_depth[:, None]
-        Twc = self.T_cw.inverse()
-        pw = (np.asarray(Twc.R) @ pc.T).T + np.asarray(Twc.t)
-        cam_center = np.asarray(Twc.t)
-        rays = pw - cam_center
-        dist = np.linalg.norm(rays, axis=-1)
-        normal = rays / np.maximum(dist[:, None], 1e-9)
-        lvl = np.asarray(feats.level)[sel]
-        sf = self.cfg.extractor.scale_factor
-        max_dist = dist * (sf ** lvl)
-        min_dist = max_dist / (sf ** (self.cfg.extractor.n_levels - 1))
-
-        self.map, ids = map_state.create_points(
-            self.map,
-            jnp.int32(self.n_mp),
-            jnp.int32(slot),
-            jnp.asarray(sel),
-            jnp.asarray(pw, jnp.float32),
-            jnp.asarray(np.asarray(feats.desc)[sel]),
-            jnp.asarray(normal, jnp.float32),
-            jnp.asarray(min_dist, jnp.float32),
-            jnp.asarray(max_dist, jnp.float32),
-            jnp.asarray(create),
-        )
-        self.n_mp += int(create.sum())
-
-        # refresh stats for points matched in this frame
-        upd = np.asarray(matched_mp)
-        upd = upd[upd >= 0]
-        if upd.size > 0:
-            pad = np.full((1024,), -1, np.int32)
-            pad[: min(upd.size, 1024)] = upd[:1024]
-            self.map = map_state.update_point_stats(self.map, jnp.asarray(pad))
+        self.ref_pose_np = self.T_np.copy()
+        self._sync(self.map.mp_pos)
 
     def _local_ba(self):
         """LocalBundleAdjustment over the recent window (optimizer.cpp:1641
@@ -382,11 +467,8 @@ class StereoVO:
         no loop closure)."""
         if self.n_kf < 3:
             return
-        cfg = self.cfg.ba
-        W = cfg.max_local_kfs
-        window = self._recent_kf_slots(W)
-        # fix the oldest third of the window (boundary anchors), and always
-        # fix KF 0 (gauge)
+        W = self.cfg.ba.max_local_kfs
+        window = self._recent_kfs()
         win_np = np.asarray(window)
         fixed = np.zeros((W,), bool)
         alive = win_np >= 0
@@ -395,30 +477,22 @@ class StereoVO:
         order = np.argsort(np.where(alive, win_np, np.iinfo(np.int32).max))
         fixed[order[:n_fix]] = True
         fixed[win_np == 0] = True
-        mp_ids, _ = steps.gather_local_points(self.map, window, cfg.max_local_points)
-        prob = steps.gather_ba_problem(
-            self.cam, self.map, window, jnp.asarray(fixed), mp_ids,
-            n_window=W, n_points=cfg.max_local_points,
-            n_obs=self.cfg.map.max_obs_per_point,
+        self.map, R_ref, t_ref = self._local_ba_fn(
+            self.map, window, jnp.asarray(fixed), jnp.int32(self.ref_kf)
         )
-        res = ba.bundle_adjust(self.cam, prob, iters=cfg.local_ba_iters)
-        self.map = steps.scatter_ba_result(
-            self.map, window, jnp.asarray(fixed), mp_ids, res.poses, res.points
-        )
-        # keep the tracker consistent with the adjusted reference KF
-        self.T_cw = SE3(self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf])
+        got = jax.device_get({"R": R_ref, "t": t_ref})
+        self.T_dev = SE3(R_ref, t_ref)
+        T_np = np.eye(4)
+        T_np[:3, :3] = got["R"]
+        T_np[:3, 3] = got["t"]
+        self.T_np = T_np
+        self.ref_pose_np = T_np.copy()
 
     def _record(self, timestamp, state):
-        Tcw = np.eye(4)
-        Tcw[:3, :3] = np.asarray(self.T_cw.R)
-        Tcw[:3, 3] = np.asarray(self.T_cw.t)
         if self.ref_kf >= 0:
-            T_ref_cw = np.eye(4)
-            T_ref_cw[:3, :3] = np.asarray(self.map.kf_R[self.ref_kf])
-            T_ref_cw[:3, 3] = np.asarray(self.map.kf_t[self.ref_kf])
-            T_rel = Tcw @ np.linalg.inv(T_ref_cw)
+            T_rel = self.T_np @ np.linalg.inv(self.ref_pose_np)
         else:
-            T_rel = Tcw
+            T_rel = self.T_np.copy()
         self.records.append(
             FrameRecord(self.frame_id, timestamp, self.ref_kf, T_rel, state)
         )
