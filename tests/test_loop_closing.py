@@ -1,0 +1,263 @@
+"""End-to-end loop-closing test on a synthetic drifted circular map.
+
+Mirrors the reference's LoopClosing capability check: a trajectory around
+a circle accumulates odometric drift; the last keyframe revisits the
+first keyframe's scene (same physical points, duplicated as drifted map
+entries — what tracking would have triangulated). LoopCloser must detect
+KF0 as the loop candidate via BoW, verify it with Sim3 RANSAC + GN on the
+descriptor-matched point pairs, fuse the seam duplicates, and restore the
+keyframe ring to ground truth via the essential graph
+(loopclosing.cpp:805 CorrectLoop semantics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vi_slam_tpu.cameras.base import CameraParams
+from vi_slam_tpu.lie import se3, so3
+from vi_slam_tpu.lie.se3 import SE3
+from vi_slam_tpu.pipeline.loop_closing import LoopCloser
+from vi_slam_tpu.retrieval import vocabulary as voc
+from vi_slam_tpu.slam_map import state as map_state
+from vi_slam_tpu.utils.config import SystemConfig, MapConfig
+from vi_slam_tpu.cameras import pinhole
+
+
+K_KF = 12
+N_KP = 256
+RADIUS = 10.0
+
+
+def _gt_pose(k: int) -> np.ndarray:
+    """World->camera pose: camera on the circle, optical axis along the
+    local tangent (z forward), y down."""
+    th = 2 * np.pi * k / K_KF
+    c = np.array([RADIUS * np.cos(th), RADIUS * np.sin(th), 0.0])
+    fwd = np.array([-np.sin(th), np.cos(th), 0.0])  # tangent
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    Rwc = np.stack([right, -up, fwd], axis=1)  # columns: x,y,z camera axes
+    T = np.eye(4)
+    T[:3, :3] = Rwc.T
+    T[:3, 3] = -Rwc.T @ c
+    return T
+
+
+def _drift_warp(k: int) -> np.ndarray:
+    """World-frame warp W_k (4x4) accumulating along the trajectory; the
+    map/KFs of era k are expressed in the warped world."""
+    a = k / (K_KF - 1)
+    w = np.asarray([0.0, 0.0, 0.06 * a])  # growing yaw
+    t = np.asarray([0.25 * a, -0.35 * a, 0.1 * a])
+    W = np.eye(4)
+    W[:3, :3] = np.asarray(so3.exp(jnp.asarray(w)))
+    W[:3, 3] = t
+    return W
+
+
+@pytest.fixture(scope="module")
+def loop_world():
+    rng = np.random.default_rng(11)
+    cam = CameraParams.make(300.0, 300.0, 160.0, 120.0, bf=0.0)
+
+    # physical points: ring slightly outside the circle, in front of cameras
+    n_phys = 500
+    ang = np.linspace(0, 2 * np.pi, n_phys, endpoint=False)
+    pts = np.stack(
+        [
+            (RADIUS + 1.0 + rng.uniform(0, 4, n_phys)) * np.cos(ang),
+            (RADIUS + 1.0 + rng.uniform(0, 4, n_phys)) * np.sin(ang),
+            rng.uniform(-1.5, 1.5, n_phys),
+        ],
+        axis=1,
+    )
+    desc = rng.integers(0, 2**32, size=(n_phys, 8), dtype=np.uint32)
+
+    # visibility: project into each GT camera, keep in-frame + in-front
+    T_gt = [_gt_pose(k) for k in range(K_KF)]
+    vis = np.zeros((K_KF, n_phys), bool)
+    uv_all = np.zeros((K_KF, n_phys, 2))
+    for k in range(K_KF):
+        pc = (T_gt[k][:3, :3] @ pts.T).T + T_gt[k][:3, 3]
+        uv = np.asarray(pinhole.project(cam, jnp.asarray(pc)))
+        infront = pc[:, 2] > 1.0
+        inframe = (
+            (uv[:, 0] > 10) & (uv[:, 0] < 310) & (uv[:, 1] > 10) & (uv[:, 1] < 230)
+        )
+        vis[k] = infront & inframe
+        uv_all[k] = uv
+    return cam, pts, desc, T_gt, vis, uv_all
+
+
+def _build_drifted_map(loop_world):
+    """Assemble a MapState where each physical point is owned by its first
+    observer ("era"); the seam (physical points of KF0/1 seen again by the
+    last two KFs) is duplicated as late-era points — what tracking would
+    triangulate after drifting."""
+    cam, pts, desc, T_gt, vis, uv_all = loop_world
+    state = map_state.allocate(16, N_KP, 4096, 8)
+    kf_R = np.zeros((16, 3, 3), np.float32)
+    kf_t = np.zeros((16, 3), np.float32)
+    kf_valid = np.zeros((16,), bool)
+    kf_xy = np.zeros((16, N_KP, 2), np.float32)
+    kf_desc = np.zeros((16, N_KP, 8), np.uint32)
+    kf_kp_valid = np.zeros((16, N_KP), bool)
+    kf_mp = np.full((16, N_KP), -1, np.int32)
+    mp_pos = np.zeros((4096, 3), np.float32)
+    mp_desc = np.zeros((4096, 8), np.uint32)
+    mp_valid = np.zeros((4096,), bool)
+    mp_ref = np.full((4096,), -1, np.int32)
+    mp_obs_kf = np.full((4096, 8), -1, np.int32)
+    mp_obs_idx = np.full((4096, 8), -1, np.int32)
+    mp_n_obs = np.zeros((4096,), np.int32)
+
+    n_phys = pts.shape[0]
+    owner = np.full((n_phys,), -1, np.int32)
+    for k in range(K_KF):
+        owner[np.flatnonzero(vis[k] & (owner < 0))] = k
+
+    W = [_drift_warp(k) for k in range(K_KF)]
+
+    # drifted poses: T_kw_drift = T_gt_k o W_k^-1  (so that the camera-frame
+    # view of warped points matches the true view)
+    for k in range(K_KF):
+        Td = T_gt[k] @ np.linalg.inv(W[k])
+        kf_R[k] = Td[:3, :3]
+        kf_t[k] = Td[:3, 3]
+        kf_valid[k] = True
+
+    next_mp = 0
+    phys_to_mp = np.full((n_phys,), -1, np.int32)  # era-A entry
+    seam_dup = {}  # phys id -> duplicate mp id (late era)
+
+    def warp_pt(p, k):
+        return W[k][:3, :3] @ p + W[k][:3, 3]
+
+    # create owned map points
+    for m in range(n_phys):
+        k = owner[m]
+        if k < 0:
+            continue
+        mp_pos[next_mp] = warp_pt(pts[m], k)
+        mp_desc[next_mp] = desc[m]
+        mp_valid[next_mp] = True
+        mp_ref[next_mp] = k
+        phys_to_mp[m] = next_mp
+        next_mp += 1
+
+    # seam duplicates: last two KFs re-see points owned by KF0/KF1
+    late = [K_KF - 2, K_KF - 1]
+    for m in range(n_phys):
+        if owner[m] in (0, 1) and any(vis[k, m] for k in late):
+            first_late = min(k for k in late if vis[k, m])
+            mp_pos[next_mp] = warp_pt(pts[m], first_late)
+            mp_desc[next_mp] = desc[m]
+            mp_valid[next_mp] = True
+            mp_ref[next_mp] = first_late
+            seam_dup[m] = next_mp
+            next_mp += 1
+
+    # observations: each KF sees era-appropriate entries
+    for k in range(K_KF):
+        ids = np.flatnonzero(vis[k])
+        rng = np.random.default_rng(100 + k)
+        rng.shuffle(ids)
+        ids = ids[:N_KP]
+        for slot, m in enumerate(ids):
+            if k in late and m in seam_dup:
+                mid = seam_dup[m]
+            elif owner[m] in (0, 1) and k in late:
+                continue  # pruned above
+            else:
+                mid = phys_to_mp[m]
+                # late KFs must not observe early-era points (drift would
+                # have broken those associations)
+                if k in late and owner[m] not in late and owner[m] >= 0:
+                    if owner[m] <= K_KF - 4:
+                        continue
+            if mid < 0:
+                continue
+            kf_xy[k, slot] = uv_all[k, m]
+            kf_desc[k, slot] = desc[m]
+            kf_kp_valid[k, slot] = True
+            kf_mp[k, slot] = mid
+            n = mp_n_obs[mid]
+            if n < 8:
+                mp_obs_kf[mid, n] = k
+                mp_obs_idx[mid, n] = slot
+                mp_n_obs[mid] += 1
+
+    state = state._replace(
+        kf_R=jnp.asarray(kf_R),
+        kf_t=jnp.asarray(kf_t),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_xy=jnp.asarray(kf_xy),
+        kf_desc=jnp.asarray(kf_desc),
+        kf_kp_valid=jnp.asarray(kf_kp_valid),
+        kf_mp=jnp.asarray(kf_mp),
+        mp_pos=jnp.asarray(mp_pos),
+        mp_desc=jnp.asarray(mp_desc),
+        mp_valid=jnp.asarray(mp_valid),
+        mp_ref_kf=jnp.asarray(mp_ref),
+        mp_obs_kf=jnp.asarray(mp_obs_kf),
+        mp_obs_idx=jnp.asarray(mp_obs_idx),
+        mp_n_obs=jnp.asarray(mp_n_obs),
+    )
+    return state, desc, seam_dup
+
+
+def _centers(R, t):
+    return np.einsum("kji,kj->ki", R, -t)
+
+
+def test_loop_closer_end_to_end(loop_world):
+    cam, pts, desc, T_gt, vis, uv_all = loop_world
+    state, all_desc, seam_dup = _build_drifted_map(loop_world)
+
+    vocab = voc.train_vocabulary(all_desc, k=6, levels=3, iters=4, seed=2)
+    cfg = SystemConfig(map=MapConfig(max_keyframes=16, max_points=4096,
+                                     max_obs_per_point=8,
+                                     essential_weight_min=100))
+    lc = LoopCloser(cfg, cam, vocab, fix_scale=True, min_gap_kfs=8)
+    for k in range(K_KF):
+        lc.add_keyframe(state, k)
+
+    # drift before closing is significant
+    gt_R = np.stack([T[:3, :3] for T in T_gt])
+    gt_t = np.stack([T[:3, 3] for T in T_gt])
+    c_gt = _centers(gt_R, gt_t)
+    c0 = _centers(np.asarray(state.kf_R), np.asarray(state.kf_t))[:K_KF]
+    drift_before = np.linalg.norm(c0 - c_gt, axis=-1)
+    assert drift_before[-1] > 0.25
+
+    state2, closed = lc.process(state, K_KF - 1, K_KF)
+    assert closed, "loop was not detected/verified"
+    assert lc.stats.n_loops_closed == 1
+
+    c1 = _centers(np.asarray(state2.kf_R), np.asarray(state2.kf_t))[:K_KF]
+    err_after = np.linalg.norm(c1 - c_gt, axis=-1)
+    # the ring must be restored: the seam discontinuity vanishes and the
+    # residual is the pose-graph-optimal mid-chain bow (error distributed
+    # over the odometry edges)
+    assert err_after[-1] < 0.05  # seam closed
+    assert err_after.max() < 0.35 * drift_before.max()
+    assert err_after.max() < 0.25
+
+    # seam duplicates were fused away
+    dup_ids = np.asarray(sorted(seam_dup.values()), np.int32)
+    still_valid = np.asarray(state2.mp_valid)[dup_ids]
+    assert still_valid.mean() < 0.6  # most duplicates merged
+
+    # map points moved with their reference keyframes: reprojection of
+    # era-A points into corrected KF0 still matches their measurements
+    kf_mp0 = np.asarray(state2.kf_mp)[0]
+    sel = np.flatnonzero(kf_mp0 >= 0)[:50]
+    mp = np.asarray(state2.mp_pos)[kf_mp0[sel]]
+    R0 = np.asarray(state2.kf_R)[0]
+    t0 = np.asarray(state2.kf_t)[0]
+    pc = (R0 @ mp.T).T + t0
+    uv = np.asarray(pinhole.project(cam, jnp.asarray(pc)))
+    uv_meas = np.asarray(state2.kf_xy)[0, sel]
+    assert np.median(np.linalg.norm(uv - uv_meas, axis=-1)) < 2.0

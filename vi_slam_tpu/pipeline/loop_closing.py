@@ -1,0 +1,520 @@
+"""Loop detection + correction over the array map.
+
+Semantic reference: `LoopClosing::Run`
+(`/root/reference/src/core/loopclosing.cpp:44-253` — BoW candidates,
+Sim3 geometric verification `DetectCommonRegionsFromBoW` :491,
+`CorrectLoop` :805: propagate corrected Sim3 through the covisible
+window, transform their map points, `SearchAndFuse` :1754, essential
+graph optimization, then global BA).
+
+TPU redesign: detection is the dense BoW database query
+(retrieval/database.py); verification is a single batched descriptor
+match (MXU Hamming matrix) + one vmapped Sim3 RANSAC + one Sim3 GN;
+correction is one jitted kernel that rewrites all keyframe poses and
+map-point positions from per-KF (old, new) Sim3 pairs; duplicate-point
+fusion is a remap-table scatter. The essential-graph solve is
+optim/pose_graph.py. Host code only sequences these device programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vi_slam_tpu.cameras.base import CameraParams
+from vi_slam_tpu.lie.se3 import SE3
+from vi_slam_tpu.lie.sim3 import Sim3
+from vi_slam_tpu.loop.sim3_solver import sim3_ransac
+from vi_slam_tpu.ops.hamming import hamming_matrix
+from vi_slam_tpu.optim.pose_graph import (
+    build_essential_edges,
+    optimize_pose_graph,
+)
+from vi_slam_tpu.optim.sim3_opt import optimize_sim3
+from vi_slam_tpu.retrieval import database as kfdb
+from vi_slam_tpu.retrieval import vocabulary as voc
+from vi_slam_tpu.slam_map.state import MapState
+from vi_slam_tpu.utils.config import SystemConfig
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_pairs",))
+def _match_kf_pair(
+    state: MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    max_pairs: int,
+    th: int = 50,
+    ratio: float = 0.75,
+):
+    """Mutual-best Hamming matching restricted to keypoints with map points
+    (SearchByBoW fmatcher.cpp:546 capability; the BoW-node pruning is
+    unnecessary when the full distance matrix is one MXU matmul).
+
+    Returns per-pair arrays (max_pairs,): kp indices in a/b, mp ids in a/b,
+    valid mask — selected by best distance.
+    """
+    da = state.kf_desc[kf_a]
+    db = state.kf_desc[kf_b]
+    mp_a = state.kf_mp[kf_a]
+    mp_b = state.kf_mp[kf_b]
+    ok_a = state.kf_kp_valid[kf_a] & (mp_a >= 0)
+    ok_b = state.kf_kp_valid[kf_b] & (mp_b >= 0)
+    D = hamming_matrix(da, db).astype(jnp.float32)
+    big = 1e9
+    D = jnp.where(ok_a[:, None] & ok_b[None, :], D, big)
+    # best + second best along rows
+    j_best = jnp.argmin(D, axis=1)
+    d_best = jnp.min(D, axis=1)
+    D2 = D.at[jnp.arange(D.shape[0]), j_best].set(big)
+    d_second = jnp.min(D2, axis=1)
+    # mutual check
+    i_best_of_j = jnp.argmin(D, axis=0)
+    mutual = i_best_of_j[j_best] == jnp.arange(D.shape[0])
+    good = (
+        (d_best < th)
+        & (d_best < ratio * d_second)
+        & mutual
+        & ok_a
+    )
+    # select top max_pairs by distance
+    sel_score = jnp.where(good, -d_best, -big)
+    _, sel = jax.lax.top_k(sel_score, max_pairs)
+    sel = sel.astype(jnp.int32)
+    valid = good[sel]
+    kp_a = sel
+    kp_b = j_best[sel].astype(jnp.int32)
+    return kp_a, kp_b, mp_a[sel], mp_b[kp_b], valid
+
+
+@jax.jit
+def _pair_geometry(
+    state: MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    kp_a: jnp.ndarray,
+    kp_b: jnp.ndarray,
+    mp_a: jnp.ndarray,
+    mp_b: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Camera-frame coordinates + pixel measurements + pyramid variances
+    for matched map-point pairs (Sim3Solver input contract)."""
+    M = state.mp_pos.shape[0]
+    xa_w = state.mp_pos[jnp.clip(mp_a, 0, M - 1)]
+    xb_w = state.mp_pos[jnp.clip(mp_b, 0, M - 1)]
+    Ta = SE3(state.kf_R[kf_a], state.kf_t[kf_a])
+    Tb = SE3(state.kf_R[kf_b], state.kf_t[kf_b])
+    x1 = Ta.apply(xa_w)
+    x2 = Tb.apply(xb_w)
+    uv1 = state.kf_xy[kf_a, kp_a]
+    uv2 = state.kf_xy[kf_b, kp_b]
+    s1 = 1.2 ** (2.0 * state.kf_level[kf_a, kp_a].astype(jnp.float32))
+    s2 = 1.2 ** (2.0 * state.kf_level[kf_b, kp_b].astype(jnp.float32))
+    valid = valid & (mp_a >= 0) & (mp_b >= 0)
+    valid = valid & state.mp_valid[jnp.clip(mp_a, 0, M - 1)]
+    valid = valid & state.mp_valid[jnp.clip(mp_b, 0, M - 1)]
+    return x1, x2, uv1, uv2, s1, s2, valid
+
+
+@jax.jit
+def _apply_correction(
+    state: MapState,
+    old_R: jnp.ndarray,
+    old_t: jnp.ndarray,
+    old_s: jnp.ndarray,
+    new_R: jnp.ndarray,
+    new_t: jnp.ndarray,
+    new_s: jnp.ndarray,
+    updated: jnp.ndarray,
+) -> MapState:
+    """Rewrite keyframe poses and map points from per-KF Sim3 pairs.
+
+    For updated KF k: pose <- SE3(new_R, new_t / new_s) (the reference's
+    Sim3->SE3 conversion in CorrectLoop, loopclosing.cpp:905). For map
+    point m with ref KF r updated: x <- S_new_r^-1(S_old_r(x))
+    (loopclosing.cpp:869-887 / essential-graph point correction
+    optimizer.cpp:2380-2420).
+    """
+    K = state.kf_R.shape[0]
+    upd = updated
+    kf_R = jnp.where(upd[:, None, None], new_R, state.kf_R)
+    kf_t = jnp.where(
+        upd[:, None], new_t / jnp.maximum(new_s, 1e-12)[:, None], state.kf_t
+    )
+    ref = jnp.clip(state.mp_ref_kf, 0, K - 1)
+    S_old = Sim3(old_R[ref], old_t[ref], old_s[ref])
+    S_new = Sim3(new_R[ref], new_t[ref], new_s[ref])
+    x_cam = S_old.apply(state.mp_pos)
+    x_new = S_new.inverse().apply(x_cam)
+    move = upd[ref] & state.mp_valid & (state.mp_ref_kf >= 0)
+    mp_pos = jnp.where(move[:, None], x_new, state.mp_pos)
+    return state._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos)
+
+
+@jax.jit
+def _fuse_points(
+    state: MapState,
+    src: jnp.ndarray,  # (C,) current-side mp ids to be replaced
+    dst: jnp.ndarray,  # (C,) loop-side replacement mp ids
+    valid: jnp.ndarray,
+) -> MapState:
+    """Replace duplicated points along the loop seam (MapPoint::Replace +
+    SearchAndFuse capability, mappoint.cpp / loopclosing.cpp:1754):
+    kf_mp references are remapped src->dst, src rows invalidated, and
+    src observations appended to dst (capacity permitting).
+    """
+    M, P = state.mp_obs_kf.shape
+    ok = valid & (src >= 0) & (dst >= 0) & (src != dst)
+    remap = jnp.arange(M, dtype=jnp.int32)
+    remap = remap.at[jnp.where(ok, src, M - 1)].set(
+        jnp.where(ok, dst, remap[M - 1])
+    )
+    # fix dump slot
+    remap = remap.at[M - 1].set(M - 1)
+    kf_mp = jnp.where(state.kf_mp >= 0, remap[state.kf_mp], state.kf_mp)
+    mp_valid = state.mp_valid.at[jnp.where(ok, src, M - 1)].set(
+        jnp.where(ok, False, state.mp_valid[M - 1])
+    )
+    mp_valid = mp_valid.at[M - 1].set(state.mp_valid[M - 1])
+
+    def merge_one(c, st):
+        obs_kf, obs_idx, n_obs = st
+        s, d, o = src[c], dst[c], ok[c]
+        s = jnp.clip(s, 0, M - 1)
+        d = jnp.clip(d, 0, M - 1)
+
+        def body(p, st2):
+            okf, oidx, nob = st2
+            have = (state.mp_obs_kf[s, p] >= 0) & o
+            slot = jnp.clip(nob[d], 0, P - 1)
+            can = have & (nob[d] < P)
+            okf = okf.at[d, slot].set(
+                jnp.where(can, state.mp_obs_kf[s, p], okf[d, slot])
+            )
+            oidx = oidx.at[d, slot].set(
+                jnp.where(can, state.mp_obs_idx[s, p], oidx[d, slot])
+            )
+            nob = nob.at[d].add(jnp.where(can, 1, 0))
+            return okf, oidx, nob
+
+        return jax.lax.fori_loop(0, P, body, (obs_kf, obs_idx, n_obs))
+
+    obs_kf, obs_idx, n_obs = jax.lax.fori_loop(
+        0,
+        src.shape[0],
+        merge_one,
+        (state.mp_obs_kf, state.mp_obs_idx, state.mp_n_obs),
+    )
+    return state._replace(
+        kf_mp=kf_mp, mp_valid=mp_valid, mp_obs_kf=obs_kf,
+        mp_obs_idx=obs_idx, mp_n_obs=n_obs,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "levels", "n_words"))
+def _kf_bow(state: MapState, slot: jnp.ndarray, vocab_bits, idf, k, levels, n_words):
+    words, _ = voc._transform_bits(
+        # unpack on the fly
+        _unpack(state.kf_desc[slot]), vocab_bits, k, levels, max(levels - 3, 0)
+    )
+    return voc.bow_vectors(
+        words[None], state.kf_kp_valid[slot][None], idf, n_words
+    )[0]
+
+
+def _unpack(desc):
+    from vi_slam_tpu.ops.orb import unpack_bits
+
+    return unpack_bits(desc)
+
+
+@jax.jit
+def _covis_matrix(state: MapState) -> jnp.ndarray:
+    """Full (K, K) covisibility weights from the observation incidence."""
+    from vi_slam_tpu.slam_map.state import covisibility_row
+
+    K = state.kf_R.shape[0]
+    return jax.vmap(lambda k: covisibility_row(state, k))(
+        jnp.arange(K, dtype=jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LoopCloserStats:
+    n_queries: int = 0
+    n_candidates: int = 0
+    n_verified: int = 0
+    n_loops_closed: int = 0
+
+
+class LoopCloser:
+    """Per-keyframe loop detection + correction (LoopClosing thread
+    equivalent; runs synchronously at KF rate in the host pipeline)."""
+
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        cam: CameraParams,
+        vocab: voc.Vocabulary,
+        fix_scale: bool = True,
+        min_inliers: int = 20,
+        max_pairs: int = 256,
+        min_gap_kfs: int = 10,
+    ):
+        self.cfg = cfg
+        self.cam = cam
+        self.vocab = vocab
+        self.fix_scale = fix_scale
+        self.min_inliers = min_inliers
+        self.max_pairs = max_pairs
+        self.min_gap_kfs = min_gap_kfs
+        self.db = kfdb.KeyFrameDatabase(
+            cfg.map.max_keyframes, vocab.n_words, n_cand=16
+        )
+        self.loop_edges: List[Tuple[int, int]] = []
+        self.last_closed_kf = -(10**9)
+        self.stats = LoopCloserStats()
+        self._key = jax.random.PRNGKey(7)
+
+    # -- helpers
+
+    def _bow_of(self, state: MapState, slot: int) -> jnp.ndarray:
+        return _kf_bow(
+            state,
+            jnp.int32(slot),
+            self.vocab.node_bits,
+            self.vocab.idf,
+            self.vocab.k,
+            self.vocab.levels,
+            self.vocab.n_words,
+        )
+
+    def add_keyframe(self, state: MapState, slot: int) -> None:
+        """Register a KF in the place-recognition database."""
+        self.db.add(slot, self._bow_of(state, slot))
+
+    def process(
+        self, state: MapState, cur: int, n_kf: int
+    ) -> Tuple[MapState, bool]:
+        """Detect and (if verified) close a loop for keyframe `cur`.
+        Returns (possibly corrected map state, closed?)."""
+        self.stats.n_queries += 1
+        covis = np.asarray(_covis_matrix(state))
+        covis_cur = covis[cur]
+        exclude = covis_cur >= 1.0  # any shared observation
+        exclude[cur] = True
+        # recent KFs can't be loop candidates
+        lo = max(0, cur - self.min_gap_kfs)
+        exclude[lo : cur + 1] = True
+        if cur - self.last_closed_kf < self.min_gap_kfs:
+            return state, False
+
+        # min score = worst BoW similarity among strongly covisible KFs
+        bow_cur = self._bow_of(state, cur)
+        neigh = np.flatnonzero(covis_cur >= self.cfg.map.covis_weight_min)
+        if neigh.size:
+            scores_all = np.asarray(voc.score_l1(bow_cur, self.db.db.bow))
+            min_score = float(max(scores_all[neigh].min(), 1e-3))
+        else:
+            min_score = 0.015
+        cands = self.db.detect_loop_candidates(
+            state, bow_cur, jnp.asarray(exclude), min_score
+        )
+        cands = [c for c in cands.tolist() if not exclude[c]]
+        self.stats.n_candidates += len(cands)
+        if not cands:
+            return state, False
+
+        for cand in cands[:3]:
+            ok, S_cl, fused = self._verify(state, cur, cand)
+            if not ok:
+                continue
+            self.stats.n_verified += 1
+            state = self._correct(state, covis, cur, cand, S_cl, fused)
+            self.loop_edges.append((cur, cand))
+            self.last_closed_kf = cur
+            self.stats.n_loops_closed += 1
+            return state, True
+        return state, False
+
+    def _verify(self, state: MapState, cur: int, cand: int):
+        """Sim3 RANSAC + GN on matched map points
+        (DetectCommonRegionsFromBoW loopclosing.cpp:491 semantics)."""
+        kp_a, kp_b, mp_a, mp_b, valid = _match_kf_pair(
+            state,
+            jnp.int32(cur),
+            jnp.int32(cand),
+            self.max_pairs,
+            th=self.cfg.matcher.th_low,
+        )
+        x1, x2, uv1, uv2, s1, s2, valid = _pair_geometry(
+            state, jnp.int32(cur), jnp.int32(cand), kp_a, kp_b, mp_a, mp_b,
+            valid,
+        )
+        n_valid = int(jnp.sum(valid))
+        if n_valid < self.min_inliers:
+            return False, None, None
+        self._key, sub = jax.random.split(self._key)
+        res = sim3_ransac(
+            self.cam, self.cam, x1, x2, uv1, uv2, valid, s1, s2, sub,
+            n_hyp=256, fix_scale=self.fix_scale,
+        )
+        if int(res.n_inliers) < self.min_inliers:
+            return False, None, None
+        opt = optimize_sim3(
+            self.cam, self.cam, res.S12, x1, x2, uv1, uv2,
+            valid & res.inliers, s1, s2, fix_scale=self.fix_scale,
+        )
+        if int(opt.n_inliers) < self.min_inliers:
+            return False, None, None
+        fused = (mp_a, mp_b, valid & opt.inliers)
+        return True, opt.S12, fused
+
+    def _correct(
+        self,
+        state: MapState,
+        covis: np.ndarray,
+        cur: int,
+        cand: int,
+        S_cl: Sim3,
+        fused,
+    ) -> MapState:
+        """CorrectLoop (loopclosing.cpp:805): propagate the corrected Sim3
+        through cur's covisible window, move their points, fuse seam
+        duplicates, then optimize the essential graph."""
+        K = state.kf_R.shape[0]
+        kf_R = np.asarray(state.kf_R)
+        kf_t = np.asarray(state.kf_t)
+        kf_valid = np.asarray(state.kf_valid)
+
+        # corrected Sim3 of cur: S_cw = S_cl o S_lw  (S_lw scale 1)
+        S_lw = Sim3(
+            jnp.asarray(kf_R[cand]), jnp.asarray(kf_t[cand]),
+            jnp.asarray(1.0, state.kf_t.dtype),
+        )
+        S_cw_new = S_cl.compose(S_lw)
+        S_cw_old = Sim3(
+            jnp.asarray(kf_R[cur]), jnp.asarray(kf_t[cur]),
+            jnp.asarray(1.0, state.kf_t.dtype),
+        )
+
+        # window: cur + its covisible neighbors
+        window = covis[cur] >= self.cfg.map.covis_weight_min
+        window[cur] = True
+        window &= kf_valid
+
+        old_R = jnp.asarray(kf_R)
+        old_t = jnp.asarray(kf_t)
+        old_s = jnp.ones((K,), state.kf_t.dtype)
+        # S_iw_new = S_ic o S_cw_new, with S_ic = S_iw_old o S_cw_old^-1
+        S_iw_old = Sim3(old_R, old_t, old_s)
+        S_ic = S_iw_old.compose(S_cw_old.inverse())
+
+        def comp(S_ic_R, S_ic_t, S_ic_s):
+            Sic = Sim3(S_ic_R, S_ic_t, S_ic_s)
+            Snew = Sic.compose(S_cw_new)
+            return Snew.R, Snew.t, Snew.s
+
+        new_R, new_t, new_s = jax.vmap(comp)(S_ic.R, S_ic.t, S_ic.s)
+        upd = jnp.asarray(window)
+        state = _apply_correction(
+            state, old_R, old_t, old_s, new_R, new_t, new_s, upd
+        )
+
+        # fuse seam duplicates: current-side mp replaced by loop-side mp
+        mp_a, mp_b, fvalid = fused
+        state = _fuse_points(state, mp_a, mp_b, fvalid)
+
+        # essential graph over all valid KFs. Structural-edge measurements
+        # come from the PRE-correction poses (locally consistent odometry —
+        # the reference's NonCorrectedSim3 map, loopclosing.cpp:843-905);
+        # the loop edge carries the verified corrected measurement S_cl.
+        covis_j = _covis_matrix(state)
+        parent = self._spanning_parents(np.asarray(covis_j), kf_valid)
+        prev_loops = np.asarray(self.loop_edges, np.int32).reshape(-1, 2)
+        edges, evalid, ew = build_essential_edges(
+            covis_j,
+            jnp.asarray(parent),
+            jnp.asarray(prev_loops),
+            jnp.asarray(kf_valid),
+            min_weight=self.cfg.map.essential_weight_min,
+        )
+        edges_np = np.array(edges)
+        evalid_np = np.array(evalid)
+        ew_np = np.array(ew)
+        # structural measurements from old (pre-correction) poses
+        ii = edges_np[:, 0]
+        jj = edges_np[:, 1]
+        S_old_all = Sim3(old_R, old_t, old_s)
+        Si = Sim3(S_old_all.R[ii], S_old_all.t[ii], S_old_all.s[ii])
+        Sj = Sim3(S_old_all.R[jj], S_old_all.t[jj], S_old_all.s[jj])
+        meas = Sj.compose(Si.inverse())
+        # append the loop edge (i=cand, j=cur): S_ji = S_cw_new o S_lw^-1 = S_cl
+        free_slots = np.flatnonzero(~evalid_np)
+        if free_slots.size == 0:
+            return state  # edge budget exhausted; skip graph opt
+        slot = int(free_slots[0])
+        edges_np[slot] = (cand, cur)
+        evalid_np[slot] = True
+        ew_np[slot] = 1.0
+        meas = Sim3(
+            meas.R.at[slot].set(S_cl.R),
+            meas.t.at[slot].set(S_cl.t),
+            meas.s.at[slot].set(S_cl.s),
+        )
+        # init: corrected poses (post window propagation)
+        poses = Sim3(
+            state.kf_R, state.kf_t, jnp.ones((K,), state.kf_t.dtype)
+        )
+        fixed = np.zeros((K,), bool)
+        fixed[cand] = True
+        fixed |= ~kf_valid
+        mode = "se3" if self.fix_scale else "sim3"
+        res = optimize_pose_graph(
+            poses, jnp.asarray(edges_np), meas, jnp.asarray(evalid_np),
+            jnp.asarray(ew_np), jnp.asarray(fixed), iters=15, mode=mode,
+        )
+        state = _apply_correction(
+            state,
+            poses.R,
+            poses.t,
+            poses.s,
+            res.poses.R,
+            res.poses.t,
+            res.poses.s,
+            jnp.asarray(kf_valid),
+        )
+        return state
+
+    @staticmethod
+    def _spanning_parents(covis: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
+        """Spanning-tree parents: strongest covisible earlier KF
+        (KeyFrame::ChangeParent semantics approximated from the final
+        covisibility graph)."""
+        K = covis.shape[0]
+        parent = np.full((K,), -1, np.int32)
+        for k in range(1, K):
+            if not kf_valid[k]:
+                continue
+            w = covis[k, :k].copy()
+            w[~kf_valid[:k]] = 0
+            if w.max() > 0:
+                parent[k] = int(np.argmax(w))
+            else:
+                parent[k] = k - 1
+        return parent

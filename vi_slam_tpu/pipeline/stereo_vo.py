@@ -91,7 +91,12 @@ class TrackStats:
 class StereoVO:
     """Single-process stereo VO over the array map."""
 
-    def __init__(self, cfg: SystemConfig, timer: Optional[StageTimer] = None):
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        timer: Optional[StageTimer] = None,
+        vocab=None,
+    ):
         self.cfg = cfg
         c = cfg.camera
         self.cam = CameraParams.make(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
@@ -124,6 +129,14 @@ class StereoVO:
         self.T_np = np.eye(4)
         self.ref_pose_np = np.eye(4)  # Tcw of reference keyframe
         self._recent_cache = {}
+
+        # optional loop closing (LoopClosing thread equivalent), enabled by
+        # providing a vocabulary
+        self.loop_closer = None
+        if vocab is not None:
+            from vi_slam_tpu.pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, self.cam, vocab, fix_scale=True)
 
         self._build_device_fns()
 
@@ -394,6 +407,9 @@ class StereoVO:
                 )
             with self.timer.stage("local_ba"):
                 self._local_ba()
+            if self.loop_closer is not None:
+                with self.timer.stage("loop_closing"):
+                    self._loop_closing()
             self.frames_since_kf = 0
             self._ref_kf_tracked = n_in
 
@@ -487,6 +503,28 @@ class StereoVO:
         T_np[:3, 3] = got["t"]
         self.T_np = T_np
         self.ref_pose_np = T_np.copy()
+
+    def _loop_closing(self):
+        """LoopClosing::Run step for the newest keyframe (thread boundary
+        #2/#3 in SURVEY §3.2-3.3, run synchronously at KF rate)."""
+        lc = self.loop_closer
+        slot = self.ref_kf
+        lc.add_keyframe(self.map, slot)
+        self.map, closed = lc.process(self.map, slot, self.n_kf)
+        if closed:
+            # current pose = corrected pose of the KF just created from
+            # this frame; refresh device + host mirrors
+            R = self.map.kf_R[slot]
+            t = self.map.kf_t[slot]
+            self.T_dev = SE3(R, t)
+            got = jax.device_get({"R": R, "t": t})
+            T_np = np.eye(4)
+            T_np[:3, :3] = got["R"]
+            T_np[:3, 3] = got["t"]
+            self.T_np = T_np
+            self.ref_pose_np = T_np.copy()
+            # velocity is stale across a correction; reset motion model
+            self.vel_dev = SE3.identity()
 
     def _record(self, timestamp, state):
         if self.ref_kf >= 0:
