@@ -247,3 +247,157 @@ def scatter_ba_result(
         jnp.where(updp[:, None], points, state.mp_pos[ids_safe])
     )
     return state._replace(kf_R=new_R, kf_t=new_t, mp_pos=new_pos)
+
+
+class TriangulationCandidates(NamedTuple):
+    """Output of match_and_triangulate: fixed-capacity new-point batch."""
+
+    kp_new: jnp.ndarray  # (C,) keypoint index in the new KF
+    kp_ref: jnp.ndarray  # (C,) keypoint index in the reference KF
+    pos: jnp.ndarray  # (C, 3) world positions
+    desc: jnp.ndarray  # (C, 8) descriptors (from the new KF)
+    normal: jnp.ndarray  # (C, 3)
+    min_dist: jnp.ndarray  # (C,)
+    max_dist: jnp.ndarray  # (C,)
+    create: jnp.ndarray  # (C,) bool
+
+
+@partial(jax.jit, static_argnames=("max_new", "n_levels"))
+def match_and_triangulate(
+    cam: CameraParams,
+    state: MapState,
+    kf_new: jnp.ndarray,
+    kf_ref: jnp.ndarray,
+    max_new: int,
+    th_low: int = 50,
+    ratio: float = 0.8,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> TriangulationCandidates:
+    """Epipolar-constrained matching of *unmatched* keypoints between two
+    keyframes + DLT triangulation — the monocular new-point path
+    (`LocalMapping::CreateNewMapPoints` localmapping.cpp:363 +
+    `FMatcher::SearchForTriangulation` fmatcher.cpp:1242 semantics).
+
+    The BoW-node pruning of the reference becomes a full MXU Hamming
+    matrix; the epipolar constraint and cheirality/parallax/reprojection
+    gates are vectorized masks.
+    """
+    from vi_slam_tpu.geometry.epipolar import fundamental_from_poses
+    from vi_slam_tpu.geometry.triangulate import triangulate_dlt
+    from vi_slam_tpu.ops.hamming import hamming_matrix
+
+    N = state.kf_mp.shape[1]
+    d_new = state.kf_desc[kf_new]
+    d_ref = state.kf_desc[kf_ref]
+    free_new = state.kf_kp_valid[kf_new] & (state.kf_mp[kf_new] < 0)
+    free_ref = state.kf_kp_valid[kf_ref] & (state.kf_mp[kf_ref] < 0)
+
+    T_new = SE3(state.kf_R[kf_new], state.kf_t[kf_new])
+    T_ref = SE3(state.kf_R[kf_ref], state.kf_t[kf_ref])
+
+    D = hamming_matrix(d_new, d_ref).astype(jnp.float32)
+    big = 1e9
+    D = jnp.where(free_new[:, None] & free_ref[None, :], D, big)
+
+    # epipolar gate: distance of ref keypoint to the epiline of the new kp
+    Kmat = jnp.asarray(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]],
+        state.kf_xy.dtype,
+    )
+    F = fundamental_from_poses(T_new, T_ref, Kmat, Kmat)  # x_new^T F x_ref = 0
+    uv_new = state.kf_xy[kf_new]
+    uv_ref = state.kf_xy[kf_ref]
+    x1h = jnp.concatenate([uv_new, jnp.ones((N, 1), uv_new.dtype)], axis=-1)
+    x2h = jnp.concatenate([uv_ref, jnp.ones((N, 1), uv_ref.dtype)], axis=-1)
+    lines = x1h @ F  # row i = (F^T x1_i)^T — epiline of new kp i in ref image
+    # d(line_i, kp_j)^2 for all pairs
+    l_norm = jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)  # (N,)
+    dot = lines @ x2h.T  # (N_new, N_ref)
+    epi_d2 = dot * dot / l_norm[:, None]
+    sigma2_ref = scale_factor ** (
+        2.0 * state.kf_level[kf_ref].astype(jnp.float32)
+    )
+    epi_ok = epi_d2 < 3.84 * sigma2_ref[None, :]
+    D = jnp.where(epi_ok, D, big)
+
+    j_best = jnp.argmin(D, axis=1)
+    d_best = jnp.min(D, axis=1)
+    D2 = D.at[jnp.arange(N), j_best].set(big)
+    d_second = jnp.min(D2, axis=1)
+    i_best_of_j = jnp.argmin(D, axis=0)
+    mutual = i_best_of_j[j_best] == jnp.arange(N)
+    good = (d_best < th_low) & (d_best < ratio * d_second) & mutual & free_new
+
+    # triangulate
+    kp_ref_idx = j_best.astype(jnp.int32)
+    b_new = jnp.concatenate(
+        [
+            (uv_new - jnp.asarray([cam.cx, cam.cy], uv_new.dtype))
+            / jnp.asarray([cam.fx, cam.fy], uv_new.dtype),
+            jnp.ones((N, 1), uv_new.dtype),
+        ],
+        axis=-1,
+    )
+    uv_r = uv_ref[kp_ref_idx]
+    b_ref = jnp.concatenate(
+        [
+            (uv_r - jnp.asarray([cam.cx, cam.cy], uv_r.dtype))
+            / jnp.asarray([cam.fx, cam.fy], uv_r.dtype),
+            jnp.ones((N, 1), uv_r.dtype),
+        ],
+        axis=-1,
+    )
+    xw = triangulate_dlt(T_new, T_ref, b_new, b_ref)
+    pc_new = T_new.apply(xw)
+    pc_ref = T_ref.apply(xw)
+    z_new, z_ref = pc_new[:, 2], pc_ref[:, 2]
+
+    # parallax between rays
+    c_new = T_new.inverse().t
+    c_ref = T_ref.inverse().t
+    r1 = xw - c_new
+    r2 = xw - c_ref
+    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    )
+
+    # reprojection gates (5.991 * sigma2, CreateNewMapPoints)
+    sig2_new = scale_factor ** (2.0 * state.kf_level[kf_new].astype(jnp.float32))
+    pr_new = pinhole.project(cam, pc_new)
+    pr_ref = pinhole.project(cam, pc_ref)
+    e_new = jnp.sum((pr_new - uv_new) ** 2, axis=-1)
+    e_ref = jnp.sum((pr_ref - uv_r) ** 2, axis=-1)
+    good = (
+        good
+        & (z_new > 0.05)
+        & (z_ref > 0.05)
+        & (cosp < 0.9998)
+        & (e_new < 5.991 * sig2_new)
+        & (e_ref < 5.991 * sigma2_ref[kp_ref_idx])
+    )
+
+    # select up to max_new best (lowest descriptor distance)
+    sel_score = jnp.where(good, -d_best, -big)
+    _, sel = jax.lax.top_k(sel_score, max_new)
+    sel = sel.astype(jnp.int32)
+    create = good[sel]
+
+    dist = jnp.linalg.norm(xw[sel] - c_new[None, :], axis=-1)
+    lvl = state.kf_level[kf_new][sel].astype(jnp.float32)
+    max_dist = dist * scale_factor ** lvl
+    min_dist = max_dist / scale_factor ** (n_levels - 1)
+    ray = xw[sel] - c_new[None, :]
+    normal = ray / jnp.maximum(
+        jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-9
+    )
+    return TriangulationCandidates(
+        kp_new=sel,
+        kp_ref=kp_ref_idx[sel],
+        pos=xw[sel],
+        desc=state.kf_desc[kf_new][sel],
+        normal=normal,
+        min_dist=min_dist,
+        max_dist=max_dist,
+        create=create,
+    )

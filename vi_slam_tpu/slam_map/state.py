@@ -356,3 +356,49 @@ def update_point_stats(state: MapState, mp_ids: jnp.ndarray) -> MapState:
             jnp.where(valid_row[:, None], best_desc, state.mp_desc[ids])
         ),
     )
+
+
+@jax.jit
+def register_obs(
+    state: MapState,
+    mp_ids: jnp.ndarray,
+    kf_slot: jnp.ndarray,
+    kp_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> MapState:
+    """Add observations of existing map points from one keyframe
+    (MapPoint::AddObservation + KeyFrame::AddMapPoint semantics).
+
+    mp_ids/kp_idx/valid: (C,) parallel arrays. Each keypoint appears at
+    most once, so the scatter is collision-free (same contract as
+    insert_keyframe)."""
+    M, P = state.mp_obs_kf.shape
+    N = state.kf_mp.shape[1]
+    ok = valid & (mp_ids >= 0) & (kp_idx >= 0)
+    mp_safe = jnp.where(ok, mp_ids, M - 1)
+    obs_slot = jnp.clip(state.mp_n_obs[mp_safe], 0, P - 1)
+    can = ok & (state.mp_n_obs[mp_safe] < P)
+    write_m = jnp.where(can, mp_safe, M - 1)
+    dump_kf = state.mp_obs_kf[M - 1]
+    dump_idx = state.mp_obs_idx[M - 1]
+    dump_n = state.mp_n_obs[M - 1]
+    obs_kf = state.mp_obs_kf.at[write_m, obs_slot].set(
+        jnp.where(can, kf_slot, state.mp_obs_kf[write_m, obs_slot])
+    )
+    obs_idx = state.mp_obs_idx.at[write_m, obs_slot].set(
+        jnp.where(can, kp_idx, state.mp_obs_idx[write_m, obs_slot])
+    )
+    n_obs = state.mp_n_obs.at[write_m].add(jnp.where(can, 1, 0).astype(jnp.int32))
+    obs_kf = obs_kf.at[M - 1].set(dump_kf)
+    obs_idx = obs_idx.at[M - 1].set(dump_idx)
+    n_obs = n_obs.at[M - 1].set(dump_n)
+    # keyframe side
+    kp_safe = jnp.clip(kp_idx, 0, N - 1)
+    row = state.kf_mp[kf_slot]
+    row = row.at[kp_safe].set(jnp.where(ok, mp_ids, row[kp_safe]))
+    return state._replace(
+        mp_obs_kf=obs_kf,
+        mp_obs_idx=obs_idx,
+        mp_n_obs=n_obs,
+        kf_mp=state.kf_mp.at[kf_slot].set(row),
+    )
