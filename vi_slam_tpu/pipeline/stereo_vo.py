@@ -133,10 +133,20 @@ class StereoVO:
         # optional loop closing (LoopClosing thread equivalent), enabled by
         # providing a vocabulary
         self.loop_closer = None
+        self.relocalizer = None
         if vocab is not None:
             from vi_slam_tpu.pipeline.loop_closing import LoopCloser
+            from vi_slam_tpu.pipeline.relocalization import Relocalizer
 
             self.loop_closer = LoopCloser(cfg, self.cam, vocab, fix_scale=True)
+            self.relocalizer = Relocalizer(
+                self.cam,
+                jnp.asarray(
+                    pyr_ops.scale_factors(
+                        cfg.extractor.n_levels, cfg.extractor.scale_factor
+                    )
+                ),
+            )
 
         self._build_device_fns()
 
@@ -380,21 +390,33 @@ class StereoVO:
         st.n_inliers = n_in
         st.n_local_points = int(sc["n_local"])
 
-        if n_in < max(self.cfg.tracker.min_matches_motion // 2, 10):
-            # both narrow and wide searches failed
-            self.state = LOST
-            self._record(timestamp, LOST)
-            st.n_kfs, st.n_mps = self.n_kf, self.n_mp
-            self.stats.append(st)
-            return st
+        # recovery ladder (tracking.cpp:1816-1888): once LOST, the motion
+        # model is stale — only relocalization may resume tracking; while
+        # OK, a failed frame first tries relocalization before going LOST
+        relocated = False
+        if self.state == LOST or n_in < max(
+            self.cfg.tracker.min_matches_motion // 2, 10
+        ):
+            n_rel = self._try_relocalize(feats, uright)
+            if n_rel == 0:
+                self.state = LOST
+                self._record(timestamp, LOST)
+                st.n_kfs, st.n_mps = self.n_kf, self.n_mp
+                self.stats.append(st)
+                return st
+            n_in = n_rel
+            st.n_inliers = n_rel
+            relocated = True
 
         # accept
-        self.T_dev = SE3(bundle.T_R, bundle.T_t)
-        self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
-        T_np = np.eye(4)
-        T_np[:3, :3] = sc["T_R"]
-        T_np[:3, 3] = sc["T_t"]
-        self.T_np = T_np
+        if not relocated:
+            self.T_dev = SE3(bundle.T_R, bundle.T_t)
+            self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
+            T_np = np.eye(4)
+            T_np[:3, :3] = sc["T_R"]
+            T_np[:3, 3] = sc["T_t"]
+            self.T_np = T_np
+        # (on relocation, _try_relocalize already refreshed pose mirrors)
         self.state = OK
         self.frames_since_kf += 1
 
@@ -503,6 +525,34 @@ class StereoVO:
         T_np[:3, 3] = got["t"]
         self.T_np = T_np
         self.ref_pose_np = T_np.copy()
+
+    def _try_relocalize(self, feats, uright) -> int:
+        """Relocalization attempt (Tracking::Relocalization,
+        tracking.cpp:3456). Returns inlier count (0 = failed)."""
+        if self.relocalizer is None or self.loop_closer is None:
+            return 0
+        if self.n_kf < 1:
+            return 0
+        from vi_slam_tpu.retrieval import vocabulary as voc
+
+        vocab = self.loop_closer.vocab
+        words, _ = voc.transform(vocab, feats.desc)
+        bow = voc.bow_vectors(
+            words[None], feats.valid[None], vocab.idf, vocab.n_words
+        )[0]
+        pose, n_in = self.relocalizer.try_relocalize(
+            self.map, self.loop_closer.db, bow, feats, uright
+        )
+        if pose is None:
+            return 0
+        self.T_dev = pose
+        self.vel_dev = SE3.identity()
+        got = jax.device_get({"R": pose.R, "t": pose.t})
+        T_np = np.eye(4)
+        T_np[:3, :3] = got["R"]
+        T_np[:3, 3] = got["t"]
+        self.T_np = T_np
+        return n_in
 
     def _loop_closing(self):
         """LoopClosing::Run step for the newest keyframe (thread boundary

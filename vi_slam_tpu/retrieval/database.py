@@ -130,6 +130,22 @@ def _stage2(
     return out_ids.astype(jnp.int32), acc_scores
 
 
+def _ordered_unique(ids, scores) -> np.ndarray:
+    """Candidate ids sorted by accumulated score (best first), deduped
+    preserving order (the reference returns candidates ranked by group
+    score; callers try them in order)."""
+    ids = np.asarray(ids)
+    scores = np.asarray(scores)
+    order = np.argsort(-scores)
+    out, seen = [], set()
+    for k in order:
+        i = int(ids[k])
+        if i >= 0 and i not in seen:
+            seen.add(i)
+            out.append(i)
+    return np.asarray(out, np.int32)
+
+
 class KeyFrameDatabase:
     """Host wrapper holding the device-resident BoW matrix."""
 
@@ -158,10 +174,8 @@ class KeyFrameDatabase:
         )
         if not bool(np.any(np.asarray(ids) >= 0)):
             return np.empty((0,), np.int32)
-        out_ids, _acc = _stage2(self.db, state, query_bow, ids, scores)
-        out = np.asarray(out_ids)
-        out = out[out >= 0]
-        return np.unique(out)
+        out_ids, acc = _stage2(self.db, state, query_bow, ids, scores)
+        return _ordered_unique(out_ids, acc)
 
     def detect_reloc_candidates(
         self, state: MapState, query_bow: jnp.ndarray
@@ -174,7 +188,5 @@ class KeyFrameDatabase:
         )
         if not bool(np.any(np.asarray(ids) >= 0)):
             return np.empty((0,), np.int32)
-        out_ids, _acc = _stage2(self.db, state, query_bow, ids, scores)
-        out = np.asarray(out_ids)
-        out = out[out >= 0]
-        return np.unique(out)
+        out_ids, acc = _stage2(self.db, state, query_bow, ids, scores)
+        return _ordered_unique(out_ids, acc)
