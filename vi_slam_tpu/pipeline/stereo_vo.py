@@ -112,6 +112,10 @@ class StereoVO:
         )
         self.n_kf = 0
         self.n_mp = 0
+        # culled KF k -> (parent slot, T_k@inv(T_parent) at cull time); the
+        # trajectory writer walks this chain like the reference walks the
+        # spanning tree past bad KFs (system.cpp:440-449)
+        self.culled_parent = {}
         self.state = NOT_INITIALIZED
         self.ref_kf = -1
         self.frames_since_kf = 0
@@ -429,6 +433,8 @@ class StereoVO:
                 )
             with self.timer.stage("local_ba"):
                 self._local_ba()
+            with self.timer.stage("culling"):
+                self._culling()
             if self.loop_closer is not None:
                 with self.timer.stage("loop_closing"):
                     self._loop_closing()
@@ -487,7 +493,7 @@ class StereoVO:
         """CreateNewKeyFrame (tracking.cpp:3063) as one fused dispatch."""
         slot = self.n_kf
         self.n_kf += 1
-        budget = 1024 if slot == 0 else 384
+        budget = min(1024 if slot == 0 else 384, self.cfg.extractor.n_features)
         self.map, n_created = self._create_kf_fn(
             self.map, jnp.int32(slot), self.T_dev, jnp.int32(self.frame_id),
             jnp.asarray(timestamp, self.map.kf_timestamp.dtype),
@@ -525,6 +531,82 @@ class StereoVO:
         T_np[:3, 3] = got["t"]
         self.T_np = T_np
         self.ref_pose_np = T_np.copy()
+
+    def _culling(self):
+        """LocalMapping culling duties (MapPointCulling localmapping.cpp
+        :322 + KeyFrameCulling :946), run at KF rate."""
+        if self.n_kf < 4:
+            return
+        # stereo/RGBD demand 3 observations of a young point; mono demands
+        # 2 (LocalMapping::MapPointCulling nThObs, localmapping.cpp:322 —
+        # mono registers observations only at KF rate, so its young points
+        # accumulate them more slowly)
+        min_obs = 3 if float(self.cam.bf) > 0 else 2
+        self.map, _n = map_state.cull_young_points(
+            self.map, jnp.int32(self.ref_kf), jnp.int32(min_obs)
+        )
+        if self.n_kf >= 8:
+            red = np.asarray(map_state.keyframe_redundancy(self.map))
+            valid = np.asarray(self.map.kf_valid)
+            # protect the origin and the most recent 3 KFs; cull at most
+            # one per round to bound per-frame cost
+            for k in range(1, self.n_kf - 3):
+                if valid[k] and red[k] > 0.9:
+                    # record the relative pose to a live parent so frame
+                    # records anchored at k stay reconstructible
+                    kf_R = np.asarray(self.map.kf_R)
+                    kf_t = np.asarray(self.map.kf_t)
+                    parent = k - 1
+                    while parent > 0 and not valid[parent]:
+                        parent -= 1
+                    T_k = np.eye(4)
+                    T_k[:3, :3], T_k[:3, 3] = kf_R[k], kf_t[k]
+                    T_p = np.eye(4)
+                    T_p[:3, :3], T_p[:3, 3] = kf_R[parent], kf_t[parent]
+                    self.culled_parent[k] = (parent, T_k @ np.linalg.inv(T_p))
+                    self.map = map_state.remove_keyframe(
+                        self.map, jnp.int32(k)
+                    )
+                    if self.loop_closer is not None:
+                        self.loop_closer.db.remove(k)
+                    break
+
+    def process_rgbd(self, img, depth_img, timestamp: float) -> TrackStats:
+        """RGBD ingest (GrabImageRGBD semantics, tracking.cpp RGBD branch):
+        the depth map yields a synthetic right coordinate
+        u_right = u - bf / z per keypoint, after which the stereo tracking
+        core applies unchanged (Frame RGBD ctor, frame.cpp)."""
+        img = jnp.asarray(img, jnp.float32)
+        depth_img = jnp.asarray(depth_img, jnp.float32)
+        feats, uright, depth = self._rgbd_frame_fn(img, depth_img)
+        if self.state == NOT_INITIALIZED:
+            return self._track_entry(feats, uright, depth, timestamp, None)
+        bundle = self._track_fn(
+            self.map, self._recent_kfs(), feats, uright, depth, self.T_dev,
+            self.vel_dev,
+        )
+        return self._track_entry(feats, uright, depth, timestamp, bundle)
+
+    @property
+    def _rgbd_frame_fn(self):
+        if not hasattr(self, "_rgbd_fn_cached"):
+            cam = self.cam
+
+            def _rgbd(img, depth_img):
+                feats = self.extractor._extract(img)
+                H, W = depth_img.shape
+                u = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, W - 1)
+                v = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, H - 1)
+                z = depth_img[v, u]
+                ok = feats.valid & (z > 0)
+                depth = jnp.where(ok, z, -1.0)
+                uright = jnp.where(
+                    ok, feats.xy[:, 0] - cam.bf / jnp.maximum(z, 1e-6), -1.0
+                )
+                return feats, uright, depth
+
+            self._rgbd_fn_cached = jax.jit(_rgbd)
+        return self._rgbd_fn_cached
 
     def _try_relocalize(self, feats, uright) -> int:
         """Relocalization attempt (Tracking::Relocalization,
@@ -595,10 +677,18 @@ class StereoVO:
         kf_t = np.asarray(self.map.kf_t)
         for rec in self.records:
             if rec.ref_kf >= 0:
+                # walk past culled reference KFs (spanning-tree walk,
+                # system.cpp:440-449)
+                ref = rec.ref_kf
+                T_chain = np.eye(4)
+                while ref in self.culled_parent:
+                    parent, T_rel = self.culled_parent[ref]
+                    T_chain = T_chain @ T_rel
+                    ref = parent
                 T_ref = np.eye(4)
-                T_ref[:3, :3] = kf_R[rec.ref_kf]
-                T_ref[:3, 3] = kf_t[rec.ref_kf]
-                Tcw = rec.T_rel @ T_ref
+                T_ref[:3, :3] = kf_R[ref]
+                T_ref[:3, 3] = kf_t[ref]
+                Tcw = rec.T_rel @ T_chain @ T_ref
             else:
                 Tcw = rec.T_rel
             out.append(np.linalg.inv(Tcw))

@@ -402,3 +402,83 @@ def register_obs(
         mp_n_obs=n_obs,
         kf_mp=state.kf_mp.at[kf_slot].set(row),
     )
+
+
+@partial(jax.jit, static_argnames=())
+def cull_young_points(
+    state: MapState,
+    current_kf: jnp.ndarray,
+    min_obs: jnp.ndarray,
+) -> Tuple[MapState, jnp.ndarray]:
+    """MapPointCulling (localmapping.cpp:322): a recently created point
+    must gather observations quickly or die. Points whose first keyframe
+    is 2..4 KFs old with fewer than `min_obs` observations are
+    invalidated; older points are permanent (the reference stops testing
+    after 3 KFs).
+
+    Returns (state, n_culled)."""
+    age = current_kf - state.mp_first_kf
+    young = (age >= 2) & (age <= 4) & (state.mp_first_kf >= 0)
+    dead = state.mp_valid & young & (state.mp_n_obs < min_obs)
+    # clear keyframe links of dead points
+    M = state.mp_valid.shape[0]
+    dead_lut = dead
+    kf_mp = state.kf_mp
+    linked_dead = (kf_mp >= 0) & dead_lut[jnp.clip(kf_mp, 0, M - 1)]
+    kf_mp = jnp.where(linked_dead, -1, kf_mp)
+    state = state._replace(
+        mp_valid=state.mp_valid & ~dead,
+        mp_n_obs=jnp.where(dead, 0, state.mp_n_obs),
+        mp_obs_kf=jnp.where(dead[:, None], -1, state.mp_obs_kf),
+        mp_obs_idx=jnp.where(dead[:, None], -1, state.mp_obs_idx),
+        kf_mp=kf_mp,
+    )
+    return state, jnp.sum(dead).astype(jnp.int32)
+
+
+@jax.jit
+def keyframe_redundancy(state: MapState) -> jnp.ndarray:
+    """Per-KF fraction of its tracked map points that are observed by at
+    least 3 other keyframes (KeyFrameCulling criterion,
+    localmapping.cpp:946: cull when >= 90%)."""
+    K, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    mp = jnp.clip(state.kf_mp, 0, M - 1)
+    has = (state.kf_mp >= 0) & state.mp_valid[mp] & state.kf_kp_valid
+    n_obs = state.mp_n_obs[mp]
+    redundant = has & (n_obs >= 4)  # >= 3 others + itself
+    n_pts = jnp.maximum(jnp.sum(has, axis=1), 1)
+    return jnp.sum(redundant, axis=1) / n_pts
+
+
+@jax.jit
+def remove_keyframe(state: MapState, slot: jnp.ndarray) -> MapState:
+    """KeyFrame::SetBadFlag (keyframe.cpp): drop a keyframe, scrub its
+    observations from all map points and compact the observation lists
+    (valid entries first, counts refreshed)."""
+    M, P = state.mp_obs_kf.shape
+    hit = state.mp_obs_kf == slot
+    obs_kf = jnp.where(hit, -1, state.mp_obs_kf)
+    obs_idx = jnp.where(hit, -1, state.mp_obs_idx)
+    # stable compaction: order invalid entries last
+    order = jnp.argsort(jnp.where(obs_kf < 0, 1, 0), axis=1, stable=True)
+    obs_kf = jnp.take_along_axis(obs_kf, order, axis=1)
+    obs_idx = jnp.take_along_axis(obs_idx, order, axis=1)
+    n_obs = jnp.sum(obs_kf >= 0, axis=1).astype(jnp.int32)
+    # points anchored to the dead KF re-anchor to their first live observer
+    # (MapPoint::SetBadFlag / reference-KF update semantics)
+    new_ref = jnp.where(
+        state.mp_ref_kf == slot, obs_kf[:, 0], state.mp_ref_kf
+    )
+    N = state.kf_mp.shape[1]
+    return state._replace(
+        mp_ref_kf=new_ref,
+        kf_valid=state.kf_valid.at[slot].set(False),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(
+            jnp.zeros((N,), bool)
+        ),
+        kf_mp=state.kf_mp.at[slot].set(jnp.full((N,), -1, jnp.int32)),
+        mp_obs_kf=obs_kf,
+        mp_obs_idx=obs_idx,
+        mp_n_obs=n_obs,
+    )
