@@ -87,10 +87,26 @@ class OrbExtractor:
         return self._fn(image)
 
     def _extract(self, image: jnp.ndarray) -> Features:
+        """Flattened multi-level extraction.
+
+        Detection runs per level (cheap static-shape ops on the native
+        level size). Everything per-keypoint is then batched ACROSS levels
+        through a vertical level atlas: blurred levels are stacked with
+        21 zero separator rows (>= the radius-15 moment circle and the
+        descriptor patch clip), so one moment-map pass, one patch gather,
+        and one stencil matmul serve all 2000 keypoints — per-keypoint
+        gathers are the dominant TPU cost, and their launch overhead
+        amortizes across levels. Zero separators reproduce exactly the
+        per-level zero ("SAME") boundary semantics.
+        """
         cfg = self.cfg
+        W = self.width
+        SEP = 21
         levels = pyr_ops.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
 
-        xs, ys, lv, ang, sc, ds, va = [], [], [], [], [], [], []
+        xs, ys, lv, sc, va, atlas_rows, row_offs = [], [], [], [], [], [], []
+        atlas_xy = []
+        row = 0
         for l, img in enumerate(levels):
             budget = self.budgets[l]
             if budget <= 0:
@@ -102,13 +118,10 @@ class OrbExtractor:
                 threshold=cfg.fast_threshold,
                 min_threshold=cfg.fast_min_threshold,
             )
-            angle = orb_ops.orientations(img, xy)
-            blurred = pyr_ops.gaussian_blur(img)
-            desc = orb_ops.describe(blurred, xy, angle)
             # keypoints too close to the border can't support the descriptor
             # patch; drop them (reference uses EDGE_THRESHOLD=19 margins)
             h, w = img.shape
-            margin = orb_ops.PATCH_RADIUS + 4
+            margin = orb_ops._PATCH_C + 2
             inb = (
                 (xy[:, 0] >= margin)
                 & (xy[:, 0] < w - margin)
@@ -120,18 +133,28 @@ class OrbExtractor:
             xs.append(xy[:, 0] * s)
             ys.append(xy[:, 1] * s)
             lv.append(jnp.full((xy.shape[0],), l, dtype=jnp.int32))
-            ang.append(angle)
             sc.append(score)
-            ds.append(desc)
             va.append(valid)
+            atlas_xy.append(xy + jnp.asarray([0.0, row], jnp.float32))
+            atlas_rows.append(jnp.pad(img, ((0, SEP), (0, W - w))))
+            row += h + SEP
+
+        atlas = jnp.concatenate(atlas_rows, axis=0)
+        xy_atlas = jnp.concatenate(atlas_xy, axis=0)
+        # IC angle on the raw image, descriptors on the blurred one
+        # (fextractor.cpp:1086-1091); one blur pass serves all levels.
+        angle = orb_ops.orientations(atlas, xy_atlas)
+        desc = orb_ops.describe_patches(
+            pyr_ops.gaussian_blur(atlas), xy_atlas, angle
+        )
 
         xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=-1)
         feats = Features(
             xy=xy,
             level=jnp.concatenate(lv),
-            angle=jnp.concatenate(ang),
+            angle=angle,
             score=jnp.concatenate(sc),
-            desc=jnp.concatenate(ds),
+            desc=desc,
             valid=jnp.concatenate(va),
         )
         # pad/trim to exactly n_features for a stable downstream shape

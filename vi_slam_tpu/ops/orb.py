@@ -62,17 +62,60 @@ def _moment_kernels() -> Tuple[np.ndarray, np.ndarray]:
 _KX, _KY = _moment_kernels()
 
 
+def _prefix_sum_cols(a: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 via log-step shifted adds.
+
+    XLA lowers jnp.cumsum on TPU to an O(n^2) reduce_window (~200 ms on a
+    KITTI-width image); Hillis-Steele needs ceil(log2 n) full-array adds.
+    """
+    n = a.shape[1]
+    s = 1
+    while s < n:
+        a = a + jnp.pad(a[:, : n - s], ((0, 0), (s, 0)))
+        s *= 2
+    return a
+
+
 def moment_images(image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """m10 and m01 images via 31x31 convolution (MXU-friendly)."""
-    k = jnp.stack([jnp.asarray(_KX), jnp.asarray(_KY)])[:, None]  # (2,1,31,31)
-    out = jax.lax.conv_general_dilated(
-        image[None, None],
-        k,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
-    return out[0], out[1]
+    """m10 and m01 images for the circular radius-15 patch.
+
+    A single-channel 31x31 spatial conv lowers terribly on TPU (no channel
+    dim to feed the MXU: ~360 ms/image measured). Instead use per-row
+    prefix sums (integral-image trick): with P = cumsum(I) and
+    Q = cumsum(x * I) along x,
+
+      sum_{dx=-w..w} dx*I(y, x+dx) = [Q(x+w) - Q(x-w-1)] - x*[P(x+w) - P(x-w-1)]
+      sum_{dx=-w..w}    I(y, x+dx) =  P(x+w) - P(x-w-1)
+
+    so each of the 31 circle rows costs O(1) shifted slices, ~200 VPU ops
+    per pixel total. Matches conv with zero ("SAME") padding exactly.
+    """
+    h, w = image.shape
+    r = PATCH_RADIUS
+    # pad: rows by r (zeros), cols by r+1 left / r right (zeros)
+    ipad = jnp.pad(image, ((r, r), (r + 1, r)))
+    xcoord = (
+        jnp.arange(ipad.shape[1], dtype=image.dtype) - (r + 1)
+    )  # original x of each padded col
+    P = _prefix_sum_cols(ipad)
+    Q = _prefix_sum_cols(ipad * xcoord[None, :])
+
+    xs = jnp.arange(w, dtype=image.dtype)[None, :]
+    m10 = jnp.zeros((h, w), image.dtype)
+    m01 = jnp.zeros((h, w), image.dtype)
+    for dy in range(-r, r + 1):
+        cw = int(np.floor(np.sqrt(r * r - dy * dy)))  # circle half-width
+        # padded row slice for image rows y+dy
+        Pr = P[r + dy : r + dy + h]
+        Qr = Q[r + dy : r + dy + h]
+        # col offsets: orig col x -> padded col x + r + 1
+        hi = r + 1 + cw  # padded col of x + cw
+        lo = r - cw  # padded col of x - cw - 1
+        dP = Pr[:, hi : hi + w] - Pr[:, lo : lo + w]
+        dQ = Qr[:, hi : hi + w] - Qr[:, lo : lo + w]
+        m10 = m10 + (dQ - xs * dP)
+        m01 = m01 + dy * dP
+    return m10, m01
 
 
 def orientations(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +178,98 @@ def describe(
         bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
     )
     return packed
+
+
+N_ANGLE_BINS = 32  # 11.25 deg steps (ORB paper quantizes to 12 deg / 30 views)
+_PATCH = 41  # covers rotated pattern reach: |clip 13|*sqrt(2)+1 bilinear < 20
+_PATCH_C = _PATCH // 2  # = 20, patch center
+
+
+def _make_stencils() -> np.ndarray:
+    """(BINS, _PATCH*_PATCH, 256) f32: column p of bin b holds the bilinear
+    stencil of (a-sample minus b-sample) for pair p rotated by bin angle.
+
+    describe_patches computes va - vb for all pairs as ONE matmul
+    patch(N, 1681) @ stencil(1681, BINS*256) on the MXU, replacing the
+    per-keypoint bilinear gathers (the reference samples pixel pairs one by
+    one in computeDescriptors, fextractor.cpp:1025; rotation quantization
+    follows the ORB paper's 12-degree lookup construction).
+    """
+    out = np.zeros((N_ANGLE_BINS, _PATCH * _PATCH, PATTERN_SIZE), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        R = np.array([[ca, -sa], [sa, ca]], np.float32)
+        for p in range(PATTERN_SIZE):
+            for off, sign in ((PATTERN[p, :2], 1.0), (PATTERN[p, 2:], -1.0)):
+                x, y = R @ off
+                px, py = x + _PATCH_C, y + _PATCH_C
+                x0, y0 = int(np.floor(px)), int(np.floor(py))
+                fx, fy = px - x0, py - y0
+                for (yy, xx, wgt) in (
+                    (y0, x0, (1 - fx) * (1 - fy)),
+                    (y0, x0 + 1, fx * (1 - fy)),
+                    (y0 + 1, x0, (1 - fx) * fy),
+                    (y0 + 1, x0 + 1, fx * fy),
+                ):
+                    out[b, yy * _PATCH + xx, p] += sign * wgt
+    return out.reshape(N_ANGLE_BINS, _PATCH * _PATCH, PATTERN_SIZE)
+
+
+_STENCILS: np.ndarray | None = None
+
+
+def _stencils() -> np.ndarray:
+    global _STENCILS
+    if _STENCILS is None:
+        _STENCILS = _make_stencils()
+    return _STENCILS
+
+
+def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, _PATCH, _PATCH) patches centered at integer keypoint coords.
+
+    vmap(dynamic_slice) lowers to an efficient contiguous gather on TPU
+    (~4 ms for 2000 patches), unlike general bilinear gathers.
+    """
+    h, w = image.shape
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - _PATCH_C, 0, w - _PATCH)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - _PATCH_C, 0, h - _PATCH)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(image, (y, x), (_PATCH, _PATCH))
+
+    return jax.vmap(one)(y0, x0)
+
+
+@jax.jit
+def describe_patches(
+    blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """rBRIEF via quantized-angle stencil matmul (MXU path).
+
+    Detector keypoints sit on integer pixels, so for a quantized angle the
+    bilinear sample positions relative to the patch are static: all 256
+    pair differences for all 32 angle bins are one (N, 1681) x (1681,
+    32*256) matmul; each keypoint then selects its bin's 256 columns.
+    """
+    n = xy.shape[0]
+    patches = extract_patches(blurred, xy).reshape(n, _PATCH * _PATCH)
+    S = jnp.asarray(_stencils())  # (B, 1681, 256)
+    SB = S.transpose(1, 0, 2).reshape(_PATCH * _PATCH, -1)  # (1681, B*256)
+    diffs = jnp.dot(
+        patches, SB, preferred_element_type=jnp.float32
+    ).reshape(n, N_ANGLE_BINS, PATTERN_SIZE)
+    two_pi = 2.0 * np.pi
+    bin_f = jnp.round(
+        (angle % two_pi) / two_pi * N_ANGLE_BINS
+    ).astype(jnp.int32) % N_ANGLE_BINS
+    diff = jnp.take_along_axis(diffs, bin_f[:, None, None], axis=1)[:, 0]
+    bits = (diff < 0.0).astype(jnp.uint32)  # va < vb
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    return jnp.sum(
+        bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
+    )
 
 
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
