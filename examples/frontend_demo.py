@@ -7,6 +7,11 @@ matches recover the shift — an end-to-end sanity drive of the frontend.
 Run:  python examples/frontend_demo.py [--tpu]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

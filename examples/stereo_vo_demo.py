@@ -7,6 +7,11 @@ tracking, keyframing, local BA), and reports ATE against ground truth.
 Run:  python examples/stereo_vo_demo.py [--tpu] [--frames N]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -8,6 +8,11 @@ adjustment — reporting pose errors against ground truth.
 Run:  python examples/two_view_demo.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import jax

@@ -3,7 +3,7 @@
 A from-scratch JAX/XLA/Pallas re-design of the capability set of
 KMS-TEAM/vi_slam (an ORB-SLAM3-derived C++/CUDA stack): ORB feature
 frontend, descriptor matching, stereo/mono/VIO tracking, local & global
-bundle adjustment, place recognition, loop closing, and multi-map atlas —
+bundle adjustment, place recognition, and loop closing —
 expressed as batched array programs over static shapes, with pjit/shard_map
 distribution for global BA.
 

@@ -17,8 +17,6 @@ TPU design — built for a device behind a high-latency link:
     mirrors (filled from the bundle it already downloads) for bookkeeping.
   * Keyframe creation and local BA are one fused dispatch each, invoked
     only on keyframe frames; the map pytree is donated to avoid copies.
-  * The reference's tracking/mapping thread pair becomes async dispatch:
-    the BA dispatch overlaps the next frame's host work.
 
 Trajectory bookkeeping follows the reference: each frame stores its pose
 relative to its reference keyframe, so BA corrections propagate to the

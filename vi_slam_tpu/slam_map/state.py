@@ -36,7 +36,7 @@ class MapState(NamedTuple):
     kf_t: jnp.ndarray  # (K, 3)
     kf_valid: jnp.ndarray  # (K,) bool
     kf_frame_id: jnp.ndarray  # (K,) int32 — source frame index
-    kf_timestamp: jnp.ndarray  # (K,) float64
+    kf_timestamp: jnp.ndarray  # (K,) float32 (host keeps float64 originals)
     # per-keyframe features
     kf_xy: jnp.ndarray  # (K, N, 2)
     kf_level: jnp.ndarray  # (K, N) int32
@@ -85,7 +85,7 @@ def allocate(
         kf_t=jnp.zeros((K, 3), dtype),
         kf_valid=jnp.zeros((K,), bool),
         kf_frame_id=jnp.full((K,), -1, jnp.int32),
-        kf_timestamp=jnp.zeros((K,), jnp.float64),
+        kf_timestamp=jnp.zeros((K,), jnp.float32),
         kf_xy=jnp.zeros((K, N, 2), dtype),
         kf_level=jnp.zeros((K, N), jnp.int32),
         kf_angle=jnp.zeros((K, N), dtype),
