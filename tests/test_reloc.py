@@ -90,7 +90,9 @@ def kidnapped_run():
 
 def test_kidnap_then_relocalize(kidnapped_run):
     vo, world, states_mid = kidnapped_run
-    assert states_mid == "LOST"
+    # 0.2 s of garbage is inside the RECENTLY_LOST grace window
+    # (tracking.cpp:1816-1888 time_recently_lost semantics)
+    assert states_mid == "RECENTLY_LOST"
     assert vo.state == "OK", "relocalization failed"
     # recovered pose must match the map's own estimate of frame 6 (the
     # map carries its accumulated drift; relocalization is consistent

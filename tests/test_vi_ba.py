@@ -114,6 +114,8 @@ def make_vi_problem(seed=0, n_pts=200, px_noise=0.3):
         gravity=jnp.asarray(G_W),
         walk_info_g=jnp.asarray(1.0 / (1.9e-5 ** 2 * dtv), F32),
         walk_info_a=jnp.asarray(1.0 / (3.0e-3 ** 2 * dtv), F32),
+        R_bc=jnp.eye(3, dtype=F32),
+        t_bc=jnp.zeros((3,), F32),
     )
     return prob, (Rwb, pwb, vel, pts)
 

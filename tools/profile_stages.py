@@ -112,24 +112,21 @@ def extract_pair(a, b):
 feats2 = bench_fn("extract pair", jax.jit(extract_pair), img_l, img_r)
 
 def stereo_part(a, b):
-    fL = ext._extract(a)
-    fR = ext._extract(b)
-    pyrL = pyr_ops.build_pyramid(a, ext_cfg.n_levels, ext_cfg.scale_factor)
-    pyrR = pyr_ops.build_pyramid(b, ext_cfg.n_levels, ext_cfg.scale_factor)
-    sm = stereo_ops.match_stereo(fL, fR, pyrL, pyrR, vo.level_scales,
+    fL, aL = ext._extract_core(a)
+    fR, aR = ext._extract_core(b)
+    offs = jnp.asarray(ext.row_offsets, jnp.int32)
+    sm = stereo_ops.match_stereo(fL, fR, aL, aR, offs, vo.level_scales,
                                  vo.cam.bf, max_disp=float(BF / 0.5))
     return sm
 
 bench_fn("extract pair + stereo match", jax.jit(stereo_part), img_l, img_r)
 
 # --- track ---
-recent = vo._recent_kfs()
-featsL, uright, depth = vo._extract_pair_fn(img_l, img_r)
+featsL, uright, depth = vo._extract_pair_fn(
+    jnp.stack([img_l, img_r]).astype(jnp.uint8))
 jax.block_until_ready(uright)
-bench_fn("_track (project+match+poseGN)", vo._track_fn, vo.map, recent,
-         featsL, uright, depth, vo.T_dev, vo.vel_dev)
-bench_fn("full _frame_fn", vo._frame_fn, img_l, img_r, vo.map, recent,
-         vo.T_dev, vo.vel_dev)
+bench_fn("_track (project+match+poseGN)", vo._track_fn, vo.map,
+         jnp.int32(max(vo.ref_kf, 0)), featsL, uright, depth, vo.T_dev, vo.vel_dev)
 
 # --- KF-rate programs ---
 from vi_slam_tpu.lie.se3 import SE3

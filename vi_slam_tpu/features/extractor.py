@@ -71,6 +71,21 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[i
     return budgets
 
 
+ATLAS_SEP = 21  # zero rows between stacked levels (>= patch/SAD reach)
+
+
+def atlas_row_offsets(shapes, budgets) -> List[int]:
+    """Starting atlas row of each level (levels with zero budget get -1)."""
+    offs, row = [], 0
+    for (h, _w), b in zip(shapes, budgets):
+        if b <= 0:
+            offs.append(-1)
+            continue
+        offs.append(row)
+        row += h + ATLAS_SEP
+    return offs
+
+
 class OrbExtractor:
     """Compiles one jitted extraction program per image shape."""
 
@@ -81,12 +96,17 @@ class OrbExtractor:
         self.shapes = pyr_ops.level_shapes(height, width, cfg.n_levels, cfg.scale_factor)
         self.scales = pyr_ops.scale_factors(cfg.n_levels, cfg.scale_factor)
         self.budgets = level_budgets(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+        self.row_offsets = atlas_row_offsets(self.shapes, self.budgets)
         self._fn = jax.jit(self._extract)
+        self._fn_atlas = jax.jit(self._extract_core)
 
     def __call__(self, image: jnp.ndarray) -> Features:
         return self._fn(image)
 
     def _extract(self, image: jnp.ndarray) -> Features:
+        return self._extract_core(image)[0]
+
+    def _extract_core(self, image: jnp.ndarray):
         """Flattened multi-level extraction.
 
         Detection runs per level (cheap static-shape ops on the native
@@ -101,7 +121,7 @@ class OrbExtractor:
         """
         cfg = self.cfg
         W = self.width
-        SEP = 21
+        SEP = ATLAS_SEP
         levels = pyr_ops.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
 
         xs, ys, lv, sc, va, atlas_rows, row_offs = [], [], [], [], [], [], []
@@ -172,4 +192,6 @@ class OrbExtractor:
             )
         elif n > cap:
             feats = Features(*(a[:cap] for a in feats))
-        return feats
+        # the raw (unblurred) level atlas doubles as the stereo-SAD image
+        # source (ops/stereo.py gathers patches from it by level row offset)
+        return feats, atlas

@@ -48,6 +48,8 @@ def save_vo(path: str, vo) -> None:
     """Checkpoint a pipeline (StereoVO/MonoVO): map + host trackers.
     Trajectory records are included so SaveTrajectory* works after
     resume (system.cpp:403-696 capability)."""
+    if hasattr(vo, "flush"):
+        vo.flush()
     meta = {
         "n_kf": vo.n_kf,
         "n_mp": vo.n_mp,
@@ -92,6 +94,7 @@ def load_vo(path: str, vo) -> None:
         jnp.asarray(vo.T_np[:3, 3], state.kf_t.dtype),
     )
     vo.vel_dev = SE3.identity()
+    vo._last_good = (vo.T_dev.R, vo.T_dev.t)
     vo.records = [
         FrameRecord(
             frame_id=r["frame_id"],
@@ -102,4 +105,3 @@ def load_vo(path: str, vo) -> None:
         )
         for r in meta["records"]
     ]
-    vo._recent_cache = {}

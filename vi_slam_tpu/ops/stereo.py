@@ -52,8 +52,9 @@ def _gather_patch(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, hw: int, h
 def match_stereo(
     left: Features,
     right: Features,
-    img_left_pyr,
-    img_right_pyr,
+    atlas_left: jnp.ndarray,
+    atlas_right: jnp.ndarray,
+    row_offsets: jnp.ndarray,
     level_scales: jnp.ndarray,
     bf: jnp.ndarray,
     min_disp: float = 0.0,
@@ -62,7 +63,11 @@ def match_stereo(
 ) -> StereoMatches:
     """Associate left features with right features and refine disparity.
 
-    img_*_pyr: lists of per-level images (for the SAD refinement).
+    atlas_left/atlas_right: vertically stacked raw pyramid levels with zero
+      separator rows (features/extractor.py layout) — the SAD refinement
+      gathers each keypoint's patch ONCE from its level's atlas band
+      instead of once per level (8x less gather traffic).
+    row_offsets: (L,) int32 starting atlas row per level (-1 = absent).
     level_scales: (L,) scale per level.
     """
     bL = unpack_bits(left.desc)
@@ -87,43 +92,39 @@ def match_stereo(
     coarse_ok = best <= max_hamming
 
     # --- subpixel SAD refinement at the left keypoint's level ---
-    # work at the level of the left keypoint; gather patches per level and
-    # select (static python loop over levels, masked accumulate).
+    # per-keypoint atlas coordinates: level coords + the level's row offset
     n = left.xy.shape[0]
     inv_scale = 1.0 / scale_l
+    lvl_safe = jnp.clip(left.level, 0, row_offsets.shape[0] - 1)
+    roff = row_offsets[lvl_safe]
     uL_lvl = left.xy[:, 0] * inv_scale
     vL_lvl = left.xy[:, 1] * inv_scale
     uR0_lvl = right.xy[idx, 0] * inv_scale  # right x expressed at left's level
 
-    best_incr = jnp.zeros((n,), jnp.float32)
-    sad_valid = jnp.zeros((n,), bool)
-    for l, (imL, imR) in enumerate(zip(img_left_pyr, img_right_pyr)):
-        sel = left.level == l
-        cxL = jnp.clip(jnp.round(uL_lvl).astype(jnp.int32), 0, imL.shape[1] - 1)
-        cy = jnp.clip(jnp.round(vL_lvl).astype(jnp.int32), 0, imL.shape[0] - 1)
-        cxR = jnp.clip(jnp.round(uR0_lvl).astype(jnp.int32), 0, imR.shape[1] - 1)
-        patchL = _gather_patch(imL, cxL, cy, _W, _W)  # (N, 11, 11)
-        strip = _gather_patch(imR, cxR, cy, _W + _L, _W)  # (N, 11, 21)
-        # 11 shifted windows from the strip: shift s in [-L, L]
-        sads = []
-        for s in range(2 * _L + 1):
-            win = jax.lax.dynamic_slice_in_dim(strip, s, 2 * _W + 1, axis=2)
-            sads.append(jnp.sum(jnp.abs(win - patchL), axis=(1, 2)))
-        sad = jnp.stack(sads, axis=-1)  # (N, 11)
-        bi = jnp.argmin(sad, axis=-1)
-        smin = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
-        sm1 = jnp.take_along_axis(sad, jnp.clip(bi - 1, 0, 2 * _L)[:, None], 1)[:, 0]
-        sp1 = jnp.take_along_axis(sad, jnp.clip(bi + 1, 0, 2 * _L)[:, None], 1)[:, 0]
-        denom = sm1 + sp1 - 2.0 * smin
-        delta = jnp.where(
-            denom > 1e-6, 0.5 * (sm1 - sp1) / jnp.maximum(denom, 1e-6), 0.0
-        )
-        delta = jnp.clip(delta, -1.0, 1.0)
-        interior = bi > 0
-        interior &= bi < 2 * _L
-        incr = (bi.astype(jnp.float32) - _L) + delta
-        best_incr = jnp.where(sel, incr, best_incr)
-        sad_valid = jnp.where(sel, interior, sad_valid)
+    aw = atlas_left.shape[1]
+    cxL = jnp.clip(jnp.round(uL_lvl).astype(jnp.int32), 0, aw - 1)
+    cy = jnp.clip(jnp.round(vL_lvl).astype(jnp.int32), 0, 1 << 20) + jnp.maximum(roff, 0)
+    cy = jnp.clip(cy, 0, atlas_left.shape[0] - 1)
+    cxR = jnp.clip(jnp.round(uR0_lvl).astype(jnp.int32), 0, aw - 1)
+    patchL = _gather_patch(atlas_left, cxL, cy, _W, _W)  # (N, 11, 11)
+    strip = _gather_patch(atlas_right, cxR, cy, _W + _L, _W)  # (N, 11, 21)
+    # 11 shifted windows from the strip: shift s in [-L, L]
+    sads = []
+    for s in range(2 * _L + 1):
+        win = jax.lax.dynamic_slice_in_dim(strip, s, 2 * _W + 1, axis=2)
+        sads.append(jnp.sum(jnp.abs(win - patchL), axis=(1, 2)))
+    sad = jnp.stack(sads, axis=-1)  # (N, 11)
+    bi = jnp.argmin(sad, axis=-1)
+    smin = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
+    sm1 = jnp.take_along_axis(sad, jnp.clip(bi - 1, 0, 2 * _L)[:, None], 1)[:, 0]
+    sp1 = jnp.take_along_axis(sad, jnp.clip(bi + 1, 0, 2 * _L)[:, None], 1)[:, 0]
+    denom = sm1 + sp1 - 2.0 * smin
+    delta = jnp.where(
+        denom > 1e-6, 0.5 * (sm1 - sp1) / jnp.maximum(denom, 1e-6), 0.0
+    )
+    delta = jnp.clip(delta, -1.0, 1.0)
+    best_incr = (bi.astype(jnp.float32) - _L) + delta
+    sad_valid = (bi > 0) & (bi < 2 * _L) & (roff >= 0)
 
     u_right = (uR0_lvl + best_incr) * scale_l  # back to level-0 coords
     disparity = left.xy[:, 0] - u_right

@@ -167,9 +167,10 @@ def _build_system(
         )
 
         def res(d24):
+            I3 = jnp.eye(3, dtype=dtype)
             r = _inertial_residual_tangent(
                 d24, Ti, Tj, win.vel[k], win.vel[k + 1], win.bg[k],
-                win.ba[k], p9, gravity,
+                win.ba[k], p9, gravity, I3, jnp.zeros((3,), dtype),
             )
             return (L.T @ r) * w_edge
 

@@ -58,6 +58,10 @@ class VIBAProblem(NamedTuple):
     # bias random-walk information per edge (scalar precisions)
     walk_info_g: jnp.ndarray  # (K-1,)
     walk_info_a: jnp.ndarray  # (K-1,)
+    # IMU-camera extrinsics: T_bc maps camera-frame points to the body
+    # frame (ImuCamPose mTbc, g2otypes.h:63; kalibr T_imu_cam)
+    R_bc: jnp.ndarray  # (3,3)
+    t_bc: jnp.ndarray  # (3,)
 
 
 class VIBAResult(NamedTuple):
@@ -69,10 +73,16 @@ class VIBAResult(NamedTuple):
     cost: jnp.ndarray
 
 
-def _body_from_cam(T_cw: SE3) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """World-frame body rotation/position from Tcw (Tbc = I)."""
-    Rwb = jnp.swapaxes(T_cw.R, -1, -2)
-    pwb = -jnp.einsum("...ij,...j->...i", Rwb, T_cw.t)
+def _body_from_cam(
+    T_cw: SE3, R_bc: jnp.ndarray, t_bc: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-frame body rotation/position from Tcw with IMU-camera
+    extrinsics T_bc (camera->body): T_bw = T_bc ∘ T_cw, (Rwb, pwb) =
+    inverse(T_bw)."""
+    R_bw = jnp.einsum("ij,...jk->...ik", R_bc, T_cw.R)
+    t_bw = jnp.einsum("ij,...j->...i", R_bc, T_cw.t) + t_bc
+    Rwb = jnp.swapaxes(R_bw, -1, -2)
+    pwb = -jnp.einsum("...ij,...j->...i", Rwb, t_bw)
     return Rwb, pwb
 
 
@@ -81,7 +91,7 @@ def _inertial_residual_tangent(
     T_i: SE3, T_j: SE3,
     v_i, v_j, bg_i, ba_i,
     p9: pre.Preintegrated,
-    gravity,
+    gravity, R_bc, t_bc,
 ):
     """Residual as a function of tangent increments (for jacfwd at 0)."""
     Ti = se3.retract_left(T_i, delta[0:6])
@@ -90,8 +100,8 @@ def _inertial_residual_tangent(
     bai = ba_i + delta[12:15]
     Tj = se3.retract_left(T_j, delta[15:21])
     vj = v_j + delta[21:24]
-    R1, p1 = _body_from_cam(Ti)
-    R2, p2 = _body_from_cam(Tj)
+    R1, p1 = _body_from_cam(Ti, R_bc, t_bc)
+    R2, p2 = _body_from_cam(Tj, R_bc, t_bc)
     return pre.inertial_residual(
         p9, R1, vi, p1, R2, vj, p2, bgi, bai, gravity
     )
@@ -113,7 +123,8 @@ def _inertial_system(prob: VIBAProblem, poses: SE3):
         Ti = SE3(Ti_R, Ti_t)
         Tj = SE3(Tj_R, Tj_t)
         f = lambda d: _inertial_residual_tangent(
-            d, Ti, Tj, vi, vj, bgi, bai, p9, prob.gravity
+            d, Ti, Tj, vi, vj, bgi, bai, p9, prob.gravity,
+            prob.R_bc, prob.t_bc,
         )
         r = f(jnp.zeros((24,), dtype))
         J = jax.jacfwd(f)(jnp.zeros((24,), dtype))  # (9, 24)

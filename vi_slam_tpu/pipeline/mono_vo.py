@@ -121,8 +121,8 @@ class MonoVO(StereoVO):
         bundle = None
         if self.state != NOT_INITIALIZED:
             bundle = self._track_fn(
-                self.map, self._recent_kfs(), feats, uright, depth,
-                self.T_dev, self.vel_dev,
+                self.map, jnp.int32(max(self.ref_kf, 0)), feats, uright,
+                depth, self.T_dev, self.vel_dev,
             )
         return self._track_entry(feats, uright, depth, timestamp, bundle)
 
@@ -150,8 +150,8 @@ class MonoVO(StereoVO):
         bundle = None
         if self.state != NOT_INITIALIZED:
             bundle = self._track_fn(
-                self.map, self._recent_kfs(), feats, uright, depth,
-                self.T_dev, self.vel_dev,
+                self.map, jnp.int32(max(self.ref_kf, 0)), feats, uright,
+                depth, self.T_dev, self.vel_dev,
             )
         return self._track_entry(feats, uright, depth, timestamp, bundle)
 
@@ -280,19 +280,22 @@ class MonoVO(StereoVO):
         weak = n_in < 0.9 * max(self._ref_kf_tracked, 1)
         return bool(weak and n_in > 15)
 
-    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp):
+    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp,
+                         pose_dev=None, frame_id=None, pose_np=None):
         """Monocular CreateNewKeyFrame: insert the KF with its tracked
         associations, then triangulate new landmarks against recent
         keyframes (CreateNewMapPoints)."""
         slot = self.n_kf
         self.n_kf += 1
+        pose = pose_dev if pose_dev is not None else self.T_dev
+        fid = frame_id if frame_id is not None else self.frame_id
         self.map = map_state.insert_keyframe(
-            self.map, jnp.int32(slot), self.T_dev, jnp.int32(self.frame_id),
+            self.map, jnp.int32(slot), pose, jnp.int32(fid),
             jnp.asarray(timestamp, self.map.kf_timestamp.dtype), feats,
             uright, depth, matched_mp,
         )
         self.ref_kf = slot
-        self.ref_pose_np = self.T_np.copy()
+        self.ref_pose_np = (pose_np if pose_np is not None else self.T_np).copy()
         # triangulate vs previous KFs at exponential lookback: under
         # forward motion the parallax gate (CreateNewMapPoints
         # cosParallax < 0.9998) needs wide baselines — the reference gets

@@ -55,6 +55,26 @@ def gather_local_points(
     return ids, ids >= 0
 
 
+@partial(jax.jit, static_argnames=("n_window",))
+def covis_window(
+    state: MapState, ref_slot: jnp.ndarray, n_window: int
+) -> jnp.ndarray:
+    """Local keyframe window driven by the covisibility graph: the
+    reference KF plus its most-covisible live keyframes, recency as the
+    tiebreak (Optimizer::LocalBundleAdjustment window selection,
+    optimizer.cpp:1641 / KeyFrame::GetBestCovisibilityKeyFrames,
+    keyframe.h:79-86). Returns (n_window,) slots, -1 padded."""
+    from vi_slam_tpu.slam_map.state import covisibility_row
+
+    K = state.kf_valid.shape[0]
+    counts = covisibility_row(state, ref_slot).astype(jnp.int32)
+    slots = jnp.arange(K, dtype=jnp.int32)
+    key = jnp.where(state.kf_valid, counts * K + slots, -1)
+    key = key.at[ref_slot].set(jnp.iinfo(jnp.int32).max)  # ref always first
+    topv, topi = jax.lax.top_k(key, n_window)
+    return jnp.where(topv > 0, topi.astype(jnp.int32), -1)
+
+
 class Projected(NamedTuple):
     uv: jnp.ndarray  # (M, 2)
     level: jnp.ndarray  # (M,)

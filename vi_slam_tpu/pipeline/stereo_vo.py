@@ -3,20 +3,31 @@
 Semantic reference: `Tracking::Track` and friends
 (`/root/reference/src/core/tracking.cpp:1661` — state machine,
 `StereoInitialization` :2167, `TrackWithMotionModel` :2696,
-`TrackLocalMap` :2791, `NeedNewKeyFrame` :2925, `CreateNewKeyFrame` :3063)
-plus the LocalMapping duties run synchronously per keyframe
-(`localmapping.cpp:50-260`: point creation, local BA).
+`TrackLocalMap` :2791, `NeedNewKeyFrame` :2925, `CreateNewKeyFrame` :3063,
+RECENTLY_LOST grace :1816-1888)
+plus the LocalMapping duties dispatched at keyframe rate
+(`localmapping.cpp:50-260`: point creation, local BA, culling).
 
-TPU design — built for a device behind a high-latency link:
-  * ONE jitted program per frame (`_frame_core`): extraction, stereo
-    association, local-map projection matching (narrow + wide fallback,
-    both computed, branch-free select), and pose GN, returning a small
-    scalar bundle. The only per-frame transfers are the stereo image
-    upload and one bundle download.
-  * Pose and velocity live on device between frames; the host keeps numpy
-    mirrors (filled from the bundle it already downloads) for bookkeeping.
-  * Keyframe creation and local BA are one fused dispatch each, invoked
-    only on keyframe frames; the map pytree is donated to avoid copies.
+TPU design — built for a device behind a high-latency link (tunnel RTT is
+tens of ms, so one synchronous round trip per frame would cap throughput
+by itself):
+  * ONE jitted program per frame (`_frame_fn`): uint8 image unpack,
+    extraction, stereo association, covisibility-window projection
+    matching (narrow + wide fallback, branch-free select), and pose GN.
+    All host-relevant outputs are PACKED into one small f32 vector.
+  * The host runs a `pipeline_depth`-deep in-flight queue: frame i is
+    dispatched (async), then frame i-depth's packed vector is fetched —
+    the fetch round trip overlaps device compute of the newer frames.
+    This is the thread-trio equivalent of the reference (SURVEY §2.4.2):
+    tracking state advances on device; host decisions lag `depth` frames,
+    exactly like ORB-SLAM3's mapping thread lags its tracking thread.
+  * Pose and velocity live on device between frames (the host only keeps
+    numpy mirrors from the packed pulls); keyframe creation, local BA and
+    culling are dispatch-only chains with NO host pull — the map-point
+    allocation cursor lives in the map (`MapState.mp_count`), the BA
+    window is covisibility-driven on device (steps.covis_window), and
+    the culled-KF bookkeeping comes back through the next frame's batched
+    fetch.
 
 Trajectory bookkeeping follows the reference: each frame stores its pose
 relative to its reference keyframe, so BA corrections propagate to the
@@ -25,8 +36,8 @@ final trajectory (`System::SaveTrajectoryKITTI` system.cpp:645 semantics).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
+from collections import deque
+from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -50,22 +61,51 @@ from vi_slam_tpu.utils.timing import StageTimer
 
 NOT_INITIALIZED = "NOT_INITIALIZED"
 OK = "OK"
+RECENTLY_LOST = "RECENTLY_LOST"
 LOST = "LOST"
+
+# packed layout (f32): [T_R(9), T_t(3), ref_R(9), ref_t(3), n_in,
+# n_matches, n_local, n_tracked_close, n_creatable, mp_count,
+# kf_flag, new_kf_slot, kf_count] = (33,)
+_PK_T = slice(0, 12)
+_PK_REF = slice(12, 24)
+_PK_NIN = 24
+_PK_NMATCH = 25
+_PK_NLOCAL = 26
+_PK_NCLOSE = 27
+_PK_NCREAT = 28
+_PK_MPCOUNT = 29
+_PK_KFFLAG = 30
+_PK_KFSLOT = 31
+_PK_KFCOUNT = 32
 
 
 class TrackBundle(NamedTuple):
-    """Per-frame device outputs; scalars are downloaded, arrays stay."""
+    """Per-frame device outputs. `packed` is the ONLY array the host pulls;
+    the rest stay device-resident for the pose chain / keyframe creation."""
 
     T_R: jnp.ndarray  # (3,3) optimized Tcw
     T_t: jnp.ndarray  # (3,)
     vel_R: jnp.ndarray  # (3,3) new velocity (T_cur ∘ T_last^-1)
     vel_t: jnp.ndarray  # (3,)
-    n_in: jnp.ndarray  # () int32
-    n_matches: jnp.ndarray
-    n_local: jnp.ndarray
-    n_tracked_close: jnp.ndarray
-    n_creatable: jnp.ndarray
     matched_mp: jnp.ndarray  # (N,) int32 — stays on device
+    packed: jnp.ndarray  # (33,) float32
+
+
+@dataclass
+class FrameJob:
+    """An in-flight frame: dispatched, not yet finalized."""
+
+    frame_id: int
+    timestamp: float
+    ref_kf: int  # host ref-KF slot at dispatch time
+    bundle: Optional[TrackBundle]
+    feats: Features
+    uright: jnp.ndarray
+    depth: jnp.ndarray
+    # True when the KF decision+creation already happened on device inside
+    # the frame dispatch (image path); False for host-decided sync paths
+    fused: bool = False
 
 
 @dataclass
@@ -84,6 +124,32 @@ class TrackStats:
     n_local_points: int = 0
     n_kfs: int = 0
     n_mps: int = 0
+    state: str = OK
+
+
+def make_oracle_features(n, xy, uright, depth, desc, level):
+    """Pad raw oracle keypoint arrays into a fixed-capacity Features batch
+    (+ uright/depth), for tests/benchmarks without the image frontend."""
+    v = np.zeros((n,), bool)
+    cnt = min(len(xy), n)
+    v[:cnt] = True
+
+    def pad(a, shape, fill=0.0, dtype=np.float32):
+        out = np.full(shape, fill, dtype)
+        out[:cnt] = a[:cnt]
+        return out
+
+    feats = Features(
+        xy=jnp.asarray(pad(xy, (n, 2))),
+        level=jnp.asarray(pad(level, (n,), 0, np.int32)),
+        angle=jnp.zeros((n,), jnp.float32),
+        score=jnp.asarray(pad(np.ones(cnt), (n,))),
+        desc=jnp.asarray(pad(desc, (n, 8), 0, np.uint32)),
+        valid=jnp.asarray(v),
+    )
+    ur = jnp.asarray(pad(uright, (n,), -1.0))
+    dp = jnp.asarray(pad(depth, (n,), -1.0))
+    return feats, ur, dp
 
 
 class StereoVO:
@@ -130,7 +196,19 @@ class StereoVO:
         self.vel_dev = SE3.identity()
         self.T_np = np.eye(4)
         self.ref_pose_np = np.eye(4)  # Tcw of reference keyframe
-        self._recent_cache = {}
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        self._lost_since = 0.0
+        # device KF-decision carry: (frames_since_kf, ref_kf_tracked)
+        self.carry_dev = jnp.zeros((2,), jnp.int32)
+
+        # async pipeline state
+        self.pipeline_depth = cfg.tracker.pipeline_depth
+        self._inflight: deque = deque()
+        self._pending_culls: List[jnp.ndarray] = []
+
+        # ActivateLocalizationMode equivalent (system.h:92-255): tracking
+        # without mapping
+        self.localization_only = False
 
         # optional loop closing (LoopClosing thread equivalent), enabled by
         # providing a vocabulary
@@ -169,11 +247,13 @@ class StereoVO:
         min_matches = cfg.tracker.min_matches_motion
         level_scales = self.level_scales
         n_feats = ext_cfg.n_features
+        n_window = cfg.ba.max_local_kfs
 
         @precise
-        def _track(mstate, recent, feats, uright, depth, T_last, vel):
+        def _track(mstate, ref_slot, feats, uright, depth, T_last, vel):
             T_pred = vel.compose(T_last)
-            mp_ids, mp_mask = steps.gather_local_points(mstate, recent, n_local)
+            window = steps.covis_window(mstate, ref_slot, n_window)
+            mp_ids, mp_mask = steps.gather_local_points(mstate, window, n_local)
             proj = steps.project_local_points(
                 cam, mstate, mp_ids, mp_mask, T_pred, W, H,
                 n_levels=ext_cfg.n_levels, scale_factor=ext_cfg.scale_factor,
@@ -211,46 +291,123 @@ class StereoVO:
             vel_new = T.compose(T_last.inverse())
             close = (depth > 0) & (depth < close_depth) & feats.valid
             has_mp = matched_mp >= 0
+            ref_safe = jnp.clip(ref_slot, 0, mstate.kf_R.shape[0] - 1)
+            packed = jnp.concatenate(
+                [
+                    T.R.reshape(-1),
+                    T.t,
+                    mstate.kf_R[ref_safe].reshape(-1),
+                    mstate.kf_t[ref_safe],
+                    jnp.stack(
+                        [
+                            n_in.astype(jnp.float32),
+                            jnp.sum(m.ok & proj.valid).astype(jnp.float32),
+                            jnp.sum(mp_mask).astype(jnp.float32),
+                            jnp.sum(close & has_mp).astype(jnp.float32),
+                            jnp.sum(close & ~has_mp).astype(jnp.float32),
+                            mstate.mp_count[0].astype(jnp.float32),
+                            jnp.zeros((), jnp.float32),  # kf_flag
+                            jnp.full((), -1.0, jnp.float32),  # new slot
+                            mstate.kf_count[0].astype(jnp.float32),
+                        ]
+                    ),
+                ]
+            ).astype(jnp.float32)
             return TrackBundle(
                 T_R=T.R, T_t=T.t, vel_R=vel_new.R, vel_t=vel_new.t,
-                n_in=n_in.astype(jnp.int32),
-                n_matches=jnp.sum(m.ok & proj.valid).astype(jnp.int32),
-                n_local=jnp.sum(mp_mask).astype(jnp.int32),
-                n_tracked_close=jnp.sum(close & has_mp).astype(jnp.int32),
-                n_creatable=jnp.sum(close & ~has_mp).astype(jnp.int32),
-                matched_mp=matched_mp,
+                matched_mp=matched_mp, packed=packed,
             )
 
         self._track_fn = jax.jit(_track)
 
-        def _extract_pair(img_l, img_r):
-            featsL = self.extractor._extract(img_l)
-            featsR = self.extractor._extract(img_r)
-            pyrL = pyr_ops.build_pyramid(img_l, ext_cfg.n_levels, ext_cfg.scale_factor)
-            pyrR = pyr_ops.build_pyramid(img_r, ext_cfg.n_levels, ext_cfg.scale_factor)
+        row_offs = jnp.asarray(self.extractor.row_offsets, jnp.int32)
+
+        def _extract_pair(imgs_u8):
+            img_l = imgs_u8[0].astype(jnp.float32)
+            img_r = imgs_u8[1].astype(jnp.float32)
+            featsL, atlasL = self.extractor._extract_core(img_l)
+            featsR, atlasR = self.extractor._extract_core(img_r)
             sm = stereo_ops.match_stereo(
-                featsL, featsR, pyrL, pyrR, level_scales, cam.bf,
-                max_disp=float(cfg.camera.bf / 0.5),
+                featsL, featsR, atlasL, atlasR, row_offs, level_scales,
+                cam.bf, max_disp=float(cfg.camera.bf / 0.5),
             )
             uright = jnp.where(sm.ok, sm.u_right, -1.0)
             depth = jnp.where(sm.ok, sm.depth, -1.0)
             return featsL, uright, depth
 
-        def _frame(img_l, img_r, mstate, recent, T_last, vel):
-            feats, uright, depth = _extract_pair(img_l, img_r)
-            bundle = _track(mstate, recent, feats, uright, depth, T_last, vel)
-            return bundle, feats, uright, depth
+        tr_cfg = cfg.tracker
+        min_ok_static = max(tr_cfg.min_matches_motion // 2, 10)
+        kf_budget = min(384, n_feats)
 
-        self._frame_fn = jax.jit(_frame)
+        def _frame(imgs_u8, mstate, carry, T_last, vel, frame_id, ts,
+                   loc_only):
+            """Fused per-frame program: extract + stereo + track + the
+            KEYFRAME DECISION AND CREATION (NeedNewKeyFrame +
+            CreateNewKeyFrame, tracking.cpp:2925/:3063) — all one dispatch.
+
+            The reference's tracking thread creates close stereo points
+            synchronously for exactly the reason this lives on device: the
+            very next frame must see them. carry = (frames_since_kf,
+            ref_kf_tracked) int32[2]."""
+            feats, uright, depth = _extract_pair(imgs_u8)
+            K = mstate.kf_R.shape[0]
+            ref_slot = jnp.clip(mstate.kf_count[0] - 1, 0, K - 1)
+            bundle = _track(mstate, ref_slot, feats, uright, depth, T_last, vel)
+            p = bundle.packed
+            n_in = p[_PK_NIN].astype(jnp.int32)
+            n_close = p[_PK_NCLOSE].astype(jnp.int32)
+            n_creat = p[_PK_NCREAT].astype(jnp.int32)
+            fs = carry[0] + 1
+            ref_tracked = jnp.maximum(carry[1], 1)
+
+            ok = n_in >= min_ok_static
+            capacity = mstate.kf_count[0] < K - 1
+            timeout = fs >= tr_cfg.max_frames_between_kf
+            min_frames_ok = fs >= tr_cfg.min_frames_between_kf
+            need_close = (n_close < 100) & (n_creat > 70)
+            weak = n_in.astype(jnp.float32) < (
+                tr_cfg.kf_ref_ratio * ref_tracked.astype(jnp.float32)
+            )
+            kf_new = (
+                ok & capacity & jnp.logical_not(loc_only)
+                & (timeout | (min_frames_ok & (need_close | weak)))
+            )
+            slot = mstate.kf_count[0]
+            T_new = SE3(bundle.T_R, bundle.T_t)
+
+            def do_create(ms):
+                return _create_kf_body(
+                    ms, slot, T_new, frame_id, ts, feats, uright, depth,
+                    bundle.matched_mp, kf_budget,
+                )
+
+            mstate = jax.lax.cond(kf_new, do_create, lambda ms: ms, mstate)
+            carry_new = jnp.where(
+                kf_new,
+                jnp.stack([jnp.int32(0), n_in]),
+                jnp.stack([fs, carry[1]]),
+            ).astype(jnp.int32)
+            packed = (
+                p.at[_PK_KFFLAG].set(kf_new.astype(jnp.float32))
+                .at[_PK_KFSLOT].set(
+                    jnp.where(kf_new, slot, -1).astype(jnp.float32)
+                )
+                .at[_PK_KFCOUNT].set(mstate.kf_count[0].astype(jnp.float32))
+            )
+            bundle = bundle._replace(packed=packed)
+            return bundle, mstate, carry_new, feats, uright, depth
+
+        self._frame_fn = jax.jit(_frame, donate_argnums=(1,))
         self._extract_pair_fn = jax.jit(_extract_pair)
 
         @precise
-        def _create_kf(mstate, slot, T, frame_id, ts, feats, uright, depth,
-                       matched_mp, base_id, budget):
+        def _create_kf_body(mstate, slot, T, frame_id, ts, feats, uright,
+                            depth, matched_mp, budget):
             mstate = map_state.insert_keyframe(
                 mstate, slot, T, frame_id, ts, feats, uright, depth, matched_mp
             )
             M = mstate.mp_pos.shape[0]
+            base_id = mstate.mp_count[0]
             can = (
                 feats.valid & (depth > 0) & (depth < 2.0 * close_depth)
                 & (matched_mp < 0)
@@ -291,16 +448,29 @@ class StereoVO:
             # refresh stats for points matched in this frame
             upd_ids = jnp.where(matched_mp >= 0, matched_mp, M - 1)
             mstate = map_state.update_point_stats(mstate, upd_ids)
-            return mstate, jnp.sum(create).astype(jnp.int32)
+            return mstate
 
+        # standalone KF creation for the host-decided paths (stereo init,
+        # oracle/RGBD sync mode)
         self._create_kf_fn = jax.jit(
-            _create_kf, static_argnames=("budget",), donate_argnums=(0,)
+            _create_kf_body, static_argnames=("budget",), donate_argnums=(0,)
         )
 
         ba_cfg = cfg.ba
 
         @precise
-        def _local_ba(mstate, window, fixed, ref_slot):
+        def _local_ba(mstate, ref_slot):
+            window = steps.covis_window(mstate, ref_slot, ba_cfg.max_local_kfs)
+            alive = window >= 0
+            # fixed boundary: the origin KF plus the oldest third of the
+            # window (LocalBundleAdjustment's fixed-KF set, optimizer.cpp
+            # :1641, expressed by slot age)
+            big = jnp.iinfo(jnp.int32).max
+            slot_key = jnp.where(alive, window, big)
+            rank = jnp.argsort(jnp.argsort(slot_key))
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            n_fix = jnp.maximum(1, n_alive // 3)
+            fixed = (rank < n_fix) | (window == 0)
             mp_ids, _ = steps.gather_local_points(
                 mstate, window, ba_cfg.max_local_points
             )
@@ -311,136 +481,234 @@ class StereoVO:
                 n_obs=cfg.map.max_obs_per_point,
             )
             res = ba._ba_core(cam, prob, ba_cfg.local_ba_iters, True, 1e-4)
+            ref_pre = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
             mstate = steps.scatter_ba_result(
                 mstate, window, fixed, mp_ids, res.poses, res.points
             )
-            return mstate, mstate.kf_R[ref_slot], mstate.kf_t[ref_slot]
+            ref_post = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
+            # right-multiplicative correction for the live pose chain:
+            # T_frame_new = T_frame @ inv(T_ref_pre) @ T_ref_post keeps each
+            # frame's pose relative to its reference KF invariant
+            delta = ref_pre.inverse().compose(ref_post)
+            return mstate, delta.R, delta.t
 
         self._local_ba_fn = jax.jit(_local_ba, donate_argnums=(0,))
+
+        def _maintenance(mstate, ref_slot, min_obs, lo, hi):
+            mstate, _n = map_state.cull_young_points(mstate, ref_slot, min_obs)
+            mstate, info = map_state.cull_redundant_keyframe(mstate, lo, hi)
+            return mstate, info
+
+        self._maintenance_fn = jax.jit(_maintenance, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ API
 
     def process_stereo(self, img_left, img_right, timestamp: float) -> TrackStats:
-        """Full image path (GrabImageStereo semantics, tracking.cpp:1229)."""
-        img_l = jnp.asarray(img_left, jnp.float32)
-        img_r = jnp.asarray(img_right, jnp.float32)
+        """Full image path (GrabImageStereo semantics, tracking.cpp:1229).
+
+        Pipelined: returns the stats of the newest FINALIZED frame (host
+        decisions lag `pipeline_depth` frames behind dispatch)."""
+        imgs = self._upload_images(img_left, img_right)
         if self.state == NOT_INITIALIZED:
-            feats, uright, depth = self._extract_pair_fn(img_l, img_r)
+            self.flush()
+            feats, uright, depth = self._extract_pair_fn(imgs)
             return self._track_entry(feats, uright, depth, timestamp, None)
+        self.frame_id += 1
         with self.timer.stage("frame_core"):
-            bundle, feats, uright, depth = self._frame_fn(
-                img_l, img_r, self.map, self._recent_kfs(), self.T_dev,
-                self.vel_dev,
+            bundle, self.map, self.carry_dev, feats, uright, depth = (
+                self._frame_fn(
+                    imgs, self.map, self.carry_dev, self.T_dev, self.vel_dev,
+                    jnp.int32(self.frame_id),
+                    jnp.asarray(timestamp, jnp.float32),
+                    jnp.asarray(self.localization_only),
+                )
             )
-            self._sync(bundle.n_in)
-        return self._track_entry(feats, uright, depth, timestamp, bundle)
+        job = FrameJob(self.frame_id, timestamp, self.ref_kf, bundle,
+                       feats, uright, depth, fused=True)
+        # optimistic device pose chain: assume tracking succeeded; the
+        # finalize step repairs the chain on failure/relocalization
+        self.T_dev = SE3(bundle.T_R, bundle.T_t)
+        self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
+        self._inflight.append(job)
+        st = None
+        while len(self._inflight) > self.pipeline_depth:
+            st = self._finalize(self._inflight.popleft())
+        return st if st is not None else TrackStats(
+            n_kfs=self.n_kf, n_mps=self.n_mp, state=self.state
+        )
+
+    def flush(self) -> Optional[TrackStats]:
+        """Drain the in-flight pipeline (end of sequence / before reading
+        the trajectory or checkpointing)."""
+        st = None
+        while self._inflight:
+            st = self._finalize(self._inflight.popleft())
+        if self._pending_culls:
+            for info in jax.device_get(self._pending_culls):
+                self._apply_cull_info(info)
+            self._pending_culls = []
+        return st
+
+    def _upload_images(self, img_left, img_right) -> jnp.ndarray:
+        """One packed uint8 upload per stereo pair (4x less tunnel traffic
+        than two float32 images; real camera feeds are uint8 anyway)."""
+        stacked = np.stack(
+            [np.asarray(img_left), np.asarray(img_right)]
+        ).astype(np.uint8)
+        return jax.device_put(stacked)
 
     def process_oracle(self, xy, uright, depth, desc, level, timestamp: float) -> TrackStats:
         """Oracle-feature path (tests/benchmarks without the image frontend)."""
-        n = self.cfg.extractor.n_features
-        v = np.zeros((n,), bool)
-        cnt = min(len(xy), n)
-        v[:cnt] = True
-
-        def pad(a, shape, fill=0.0, dtype=np.float32):
-            out = np.full(shape, fill, dtype)
-            out[:cnt] = a[:cnt]
-            return out
-
-        feats = Features(
-            xy=jnp.asarray(pad(xy, (n, 2))),
-            level=jnp.asarray(pad(level, (n,), 0, np.int32)),
-            angle=jnp.zeros((n,), jnp.float32),
-            score=jnp.asarray(pad(np.ones(cnt), (n,))),
-            desc=jnp.asarray(pad(desc, (n, 8), 0, np.uint32)),
-            valid=jnp.asarray(v),
+        feats, ur, dp = make_oracle_features(
+            self.cfg.extractor.n_features, xy, uright, depth, desc, level
         )
-        ur = jnp.asarray(pad(uright, (n,), -1.0))
-        dp = jnp.asarray(pad(depth, (n,), -1.0))
         bundle = None
         if self.state != NOT_INITIALIZED:
             bundle = self._track_fn(
-                self.map, self._recent_kfs(), feats, ur, dp, self.T_dev,
-                self.vel_dev,
+                self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
+                self.T_dev, self.vel_dev,
             )
         return self._track_entry(feats, ur, dp, timestamp, bundle)
 
     # ------------------------------------------------------------- tracking
 
     def _track_entry(self, feats, uright, depth, timestamp, bundle) -> TrackStats:
+        """Synchronous dispatch+finalize (oracle / mono / rgbd / init)."""
         self.frame_id += 1
-        st = TrackStats()
-        if self.state == NOT_INITIALIZED:
-            ok = self._initialize(feats, uright, depth, timestamp)
+        job = FrameJob(self.frame_id, timestamp, self.ref_kf, bundle,
+                       feats, uright, depth)
+        if bundle is not None:
+            self.T_dev = SE3(bundle.T_R, bundle.T_t)
+            self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
+        return self._finalize(job)
+
+    def _finalize(self, job: FrameJob) -> TrackStats:
+        st = TrackStats(n_kfs=self.n_kf, n_mps=self.n_mp)
+        if job.bundle is None:
+            ok = self._initialize(job.feats, job.uright, job.depth,
+                                  job.timestamp)
             st.n_kfs, st.n_mps = self.n_kf, self.n_mp
-            self._record(timestamp, LOST if not ok else OK)
+            self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
+                         LOST if not ok else OK)
+            st.state = self.state
             self.stats.append(st)
             return st
 
         with self.timer.stage("host_pull"):
-            sc = jax.device_get(
-                {
-                    "n_in": bundle.n_in, "n_matches": bundle.n_matches,
-                    "n_local": bundle.n_local,
-                    "n_tracked_close": bundle.n_tracked_close,
-                    "n_creatable": bundle.n_creatable,
-                    "T_R": bundle.T_R, "T_t": bundle.T_t,
-                }
-            )
-        n_in = int(sc["n_in"])
-        st.n_matches = int(sc["n_matches"])
-        st.n_inliers = n_in
-        st.n_local_points = int(sc["n_local"])
+            pulls = {"packed": job.bundle.packed}
+            if self._pending_culls:
+                pulls["culls"] = list(self._pending_culls)
+            got = jax.device_get(pulls)
+        for info in got.get("culls", []):
+            self._apply_cull_info(info)
+        self._pending_culls = []
 
-        # recovery ladder (tracking.cpp:1816-1888): once LOST, the motion
-        # model is stale — only relocalization may resume tracking; while
-        # OK, a failed frame first tries relocalization before going LOST
-        relocated = False
-        if self.state == LOST or n_in < max(
-            self.cfg.tracker.min_matches_motion // 2, 10
-        ):
-            n_rel = self._try_relocalize(feats, uright)
-            if n_rel == 0:
-                self.state = LOST
-                self._record(timestamp, LOST)
-                st.n_kfs, st.n_mps = self.n_kf, self.n_mp
+        p = got["packed"]
+        T_np = np.eye(4)
+        T_np[:3, :3] = p[0:9].reshape(3, 3)
+        T_np[:3, 3] = p[9:12]
+        ref_pose = np.eye(4)
+        ref_pose[:3, :3] = p[12:21].reshape(3, 3)
+        ref_pose[:3, 3] = p[21:24]
+        n_in = int(p[_PK_NIN])
+        self.n_mp = int(p[_PK_MPCOUNT])
+        st.n_matches = int(p[_PK_NMATCH])
+        st.n_inliers = n_in
+        st.n_local_points = int(p[_PK_NLOCAL])
+
+        # recovery ladder (tracking.cpp:1816-1888): OK -> RECENTLY_LOST on
+        # a failed frame; relocalization may resume tracking during the
+        # grace window, after which the state degrades to LOST (still
+        # relocalizable, but the motion model is abandoned)
+        min_ok = max(self.cfg.tracker.min_matches_motion // 2, 10)
+        failed = n_in < min_ok
+        if self.state in (OK, RECENTLY_LOST) and failed or self.state == LOST:
+            n_rel = self._try_relocalize(job.feats, job.uright)
+            if n_rel > 0:
+                self.state = OK
+                st.n_inliers = n_rel
+                self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
+                             OK)
+                st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
                 self.stats.append(st)
                 return st
-            n_in = n_rel
-            st.n_inliers = n_rel
-            relocated = True
+            if self.state == OK:
+                self.state = RECENTLY_LOST
+                self._lost_since = job.timestamp
+                # freeze the device pose chain at the last good pose so
+                # in-flight prediction stops compounding a bad estimate
+                self.T_dev = SE3(*self._last_good)
+                self.vel_dev = SE3.identity()
+            elif self.state == RECENTLY_LOST and (
+                job.timestamp - self._lost_since
+                > self.cfg.tracker.recently_lost_sec
+            ):
+                self.state = LOST
+            self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
+                         self.state)
+            st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
+            self.stats.append(st)
+            return st
 
         # accept
-        if not relocated:
-            self.T_dev = SE3(bundle.T_R, bundle.T_t)
-            self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
-            T_np = np.eye(4)
-            T_np[:3, :3] = sc["T_R"]
-            T_np[:3, 3] = sc["T_t"]
-            self.T_np = T_np
-        # (on relocation, _try_relocalize already refreshed pose mirrors)
         self.state = OK
-        self.frames_since_kf += 1
+        self.T_np = T_np
+        self.ref_pose_np = ref_pose
+        self._last_good = (job.bundle.T_R, job.bundle.T_t)
 
-        if self._need_keyframe(
-            n_in, int(sc["n_tracked_close"]), int(sc["n_creatable"])
-        ):
-            with self.timer.stage("keyframe"):
-                self._create_keyframe(
-                    feats, uright, depth, bundle.matched_mp, timestamp
+        if job.fused:
+            # the KF decision+creation already happened on device inside
+            # the frame dispatch; the host just learns the outcome here
+            kf_created = int(p[_PK_KFFLAG]) > 0
+            self.n_kf = max(self.n_kf, int(p[_PK_KFCOUNT]))
+            ref_used = int(p[_PK_KFCOUNT]) - (1 if kf_created else 0) - 1
+            self._record(job, T_np, ref_pose, ref_used, OK)
+            self.ref_kf = self.n_kf - 1
+            if kf_created:
+                slot = int(p[_PK_KFSLOT])
+                self.ref_pose_np = T_np.copy()
+                # the KF frame's trajectory record is relative to the KF it
+                # just became (identity) so BA corrections reach it exactly
+                # (reference: mpReferenceKF = new KF before the Tcr record,
+                # tracking.cpp:2144-2163)
+                self.records[-1] = FrameRecord(
+                    job.frame_id, job.timestamp, slot, np.eye(4), OK
                 )
-            with self.timer.stage("local_ba"):
-                self._local_ba()
-            with self.timer.stage("culling"):
-                self._culling()
-            if self.loop_closer is not None:
-                with self.timer.stage("loop_closing"):
-                    self._loop_closing()
-            self.frames_since_kf = 0
-            self._ref_kf_tracked = n_in
+                with self.timer.stage("local_ba"):
+                    self._local_ba()
+                with self.timer.stage("culling"):
+                    self._culling()
+                if self.loop_closer is not None:
+                    with self.timer.stage("loop_closing"):
+                        self._loop_closing()
+                self._ref_kf_tracked = n_in
+        else:
+            self.frames_since_kf += 1
+            self._record(job, T_np, ref_pose, job.ref_kf, OK)
+            if not self.localization_only and self._need_keyframe(
+                n_in, int(p[_PK_NCLOSE]), int(p[_PK_NCREAT])
+            ):
+                with self.timer.stage("keyframe"):
+                    self._create_keyframe(
+                        job.feats, job.uright, job.depth,
+                        job.bundle.matched_mp, job.timestamp,
+                        pose_dev=SE3(job.bundle.T_R, job.bundle.T_t),
+                        frame_id=job.frame_id, pose_np=T_np,
+                    )
+                self.records[-1] = FrameRecord(
+                    job.frame_id, job.timestamp, self.ref_kf, np.eye(4), OK
+                )
+                with self.timer.stage("local_ba"):
+                    self._local_ba()
+                with self.timer.stage("culling"):
+                    self._culling()
+                if self.loop_closer is not None:
+                    with self.timer.stage("loop_closing"):
+                        self._loop_closing()
+                self.frames_since_kf = 0
+                self._ref_kf_tracked = n_in
 
-        self._record(timestamp, OK)
-        st.n_kfs, st.n_mps = self.n_kf, self.n_mp
+        st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
         self.stats.append(st)
         return st
 
@@ -449,17 +717,6 @@ class StereoVO:
     def _sync(self, *xs):
         if self.timer.enabled:
             jax.block_until_ready(xs)
-
-    def _recent_kfs(self) -> jnp.ndarray:
-        w = self.cfg.ba.max_local_kfs
-        key = (self.n_kf, w)
-        if key not in self._recent_cache:
-            slots = np.full((w,), -1, np.int32)
-            n = min(w, self.n_kf)
-            if n > 0:
-                slots[:n] = np.arange(self.n_kf - n, self.n_kf, dtype=np.int32)
-            self._recent_cache = {key: jnp.asarray(slots)}  # keep only latest
-        return self._recent_cache[key]
 
     def _initialize(self, feats, uright, depth, timestamp) -> bool:
         """StereoInitialization (tracking.cpp:2167)."""
@@ -473,8 +730,11 @@ class StereoVO:
             feats, uright, depth,
             jnp.full((feats.xy.shape[0],), -1, jnp.int32), timestamp,
         )
+        self.n_mp = int(jax.device_get(self.map.mp_count)[0])
         self.state = OK
+        self._last_good = (self.T_dev.R, self.T_dev.t)
         self._ref_kf_tracked = n_good
+        self.carry_dev = jnp.asarray([0, n_good], jnp.int32)
         return True
 
     def _need_keyframe(self, n_in, n_tracked_close, n_creatable) -> bool:
@@ -483,91 +743,68 @@ class StereoVO:
             return False
         if self.frames_since_kf >= self.cfg.tracker.max_frames_between_kf:
             return True
+        if self.frames_since_kf < self.cfg.tracker.min_frames_between_kf:
+            return False
         need_close = n_tracked_close < 100 and n_creatable > 70
         weak = n_in < self.cfg.tracker.kf_ref_ratio * max(self._ref_kf_tracked, 1)
         return bool(need_close or weak)
 
-    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp):
-        """CreateNewKeyFrame (tracking.cpp:3063) as one fused dispatch."""
+    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp,
+                         pose_dev=None, frame_id=None, pose_np=None):
+        """CreateNewKeyFrame (tracking.cpp:3063) as one fused dispatch —
+        no host pull (the point-allocation cursor lives in the map)."""
         slot = self.n_kf
         self.n_kf += 1
+        pose = pose_dev if pose_dev is not None else self.T_dev
+        fid = frame_id if frame_id is not None else self.frame_id
         budget = min(1024 if slot == 0 else 384, self.cfg.extractor.n_features)
-        self.map, n_created = self._create_kf_fn(
-            self.map, jnp.int32(slot), self.T_dev, jnp.int32(self.frame_id),
+        self.map = self._create_kf_fn(
+            self.map, jnp.int32(slot), pose, jnp.int32(fid),
             jnp.asarray(timestamp, self.map.kf_timestamp.dtype),
-            feats, uright, depth, matched_mp, jnp.int32(self.n_mp),
-            budget,
+            feats, uright, depth, matched_mp, budget,
         )
-        self.n_mp += int(n_created)
         self.ref_kf = slot
-        self.ref_pose_np = self.T_np.copy()
-        self._sync(self.map.mp_pos)
+        self.ref_pose_np = (pose_np if pose_np is not None else self.T_np).copy()
 
     def _local_ba(self):
-        """LocalBundleAdjustment over the recent window (optimizer.cpp:1641
-        semantics; temporal window stands in for covisibility while there is
-        no loop closure)."""
+        """LocalBundleAdjustment over the covisibility window
+        (optimizer.cpp:1641) — dispatch-only; the corrected reference pose
+        reaches the host through the next frame's packed pull."""
         if self.n_kf < 3:
             return
-        W = self.cfg.ba.max_local_kfs
-        window = self._recent_kfs()
-        win_np = np.asarray(window)
-        fixed = np.zeros((W,), bool)
-        alive = win_np >= 0
-        n_alive = int(alive.sum())
-        n_fix = max(1, n_alive // 3)
-        order = np.argsort(np.where(alive, win_np, np.iinfo(np.int32).max))
-        fixed[order[:n_fix]] = True
-        fixed[win_np == 0] = True
-        self.map, R_ref, t_ref = self._local_ba_fn(
-            self.map, window, jnp.asarray(fixed), jnp.int32(self.ref_kf)
-        )
-        got = jax.device_get({"R": R_ref, "t": t_ref})
-        self.T_dev = SE3(R_ref, t_ref)
-        T_np = np.eye(4)
-        T_np[:3, :3] = got["R"]
-        T_np[:3, 3] = got["t"]
-        self.T_np = T_np
-        self.ref_pose_np = T_np.copy()
+        self.map, dR, dt = self._local_ba_fn(self.map, jnp.int32(self.ref_kf))
+        delta = SE3(dR, dt)
+        self.T_dev = self.T_dev.compose(delta)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
 
     def _culling(self):
         """LocalMapping culling duties (MapPointCulling localmapping.cpp
-        :322 + KeyFrameCulling :946), run at KF rate."""
+        :322 + KeyFrameCulling :946) as one dispatch-only chain; the
+        culled-KF bookkeeping comes back via the next batched pull."""
         if self.n_kf < 4:
             return
         # stereo/RGBD demand 3 observations of a young point; mono demands
-        # 2 (LocalMapping::MapPointCulling nThObs, localmapping.cpp:322 —
-        # mono registers observations only at KF rate, so its young points
-        # accumulate them more slowly)
+        # 2 (LocalMapping::MapPointCulling nThObs, localmapping.cpp:322)
         min_obs = 3 if float(self.cam.bf) > 0 else 2
-        self.map, _n = map_state.cull_young_points(
-            self.map, jnp.int32(self.ref_kf), jnp.int32(min_obs)
+        lo = 1
+        hi = max(self.n_kf - 3, lo) if self.n_kf >= 8 else lo  # empty range
+        self.map, info = self._maintenance_fn(
+            self.map, jnp.int32(self.ref_kf), jnp.int32(min_obs),
+            jnp.int32(lo), jnp.int32(hi),
         )
-        if self.n_kf >= 8:
-            red = np.asarray(map_state.keyframe_redundancy(self.map))
-            valid = np.asarray(self.map.kf_valid)
-            # protect the origin and the most recent 3 KFs; cull at most
-            # one per round to bound per-frame cost
-            for k in range(1, self.n_kf - 3):
-                if valid[k] and red[k] > 0.9:
-                    # record the relative pose to a live parent so frame
-                    # records anchored at k stay reconstructible
-                    kf_R = np.asarray(self.map.kf_R)
-                    kf_t = np.asarray(self.map.kf_t)
-                    parent = k - 1
-                    while parent > 0 and not valid[parent]:
-                        parent -= 1
-                    T_k = np.eye(4)
-                    T_k[:3, :3], T_k[:3, 3] = kf_R[k], kf_t[k]
-                    T_p = np.eye(4)
-                    T_p[:3, :3], T_p[:3, 3] = kf_R[parent], kf_t[parent]
-                    self.culled_parent[k] = (parent, T_k @ np.linalg.inv(T_p))
-                    self.map = map_state.remove_keyframe(
-                        self.map, jnp.int32(k)
-                    )
-                    if self.loop_closer is not None:
-                        self.loop_closer.db.remove(k)
-                    break
+        self._pending_culls.append(info)
+
+    def _apply_cull_info(self, info: np.ndarray):
+        if float(info[0]) < 0.5:
+            return
+        slot = int(info[1])
+        parent = int(info[2])
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = np.asarray(info[3:12], np.float64).reshape(3, 3)
+        T_rel[:3, 3] = np.asarray(info[12:15], np.float64)
+        self.culled_parent[slot] = (parent, T_rel)
+        if self.loop_closer is not None:
+            self.loop_closer.db.remove(slot)
 
     def process_rgbd(self, img, depth_img, timestamp: float) -> TrackStats:
         """RGBD ingest (GrabImageRGBD semantics, tracking.cpp RGBD branch):
@@ -580,8 +817,8 @@ class StereoVO:
         if self.state == NOT_INITIALIZED:
             return self._track_entry(feats, uright, depth, timestamp, None)
         bundle = self._track_fn(
-            self.map, self._recent_kfs(), feats, uright, depth, self.T_dev,
-            self.vel_dev,
+            self.map, jnp.int32(max(self.ref_kf, 0)), feats, uright, depth,
+            self.T_dev, self.vel_dev,
         )
         return self._track_entry(feats, uright, depth, timestamp, bundle)
 
@@ -627,6 +864,7 @@ class StereoVO:
             return 0
         self.T_dev = pose
         self.vel_dev = SE3.identity()
+        self._last_good = (pose.R, pose.t)
         got = jax.device_get({"R": pose.R, "t": pose.t})
         T_np = np.eye(4)
         T_np[:3, :3] = got["R"]
@@ -647,6 +885,7 @@ class StereoVO:
             R = self.map.kf_R[slot]
             t = self.map.kf_t[slot]
             self.T_dev = SE3(R, t)
+            self._last_good = (R, t)
             got = jax.device_get({"R": R, "t": t})
             T_np = np.eye(4)
             T_np[:3, :3] = got["R"]
@@ -656,13 +895,13 @@ class StereoVO:
             # velocity is stale across a correction; reset motion model
             self.vel_dev = SE3.identity()
 
-    def _record(self, timestamp, state):
-        if self.ref_kf >= 0:
-            T_rel = self.T_np @ np.linalg.inv(self.ref_pose_np)
+    def _record(self, job: FrameJob, T_np, ref_pose_np, ref_kf, state):
+        if ref_kf >= 0:
+            T_rel = T_np @ np.linalg.inv(ref_pose_np)
         else:
-            T_rel = self.T_np.copy()
+            T_rel = T_np.copy()
         self.records.append(
-            FrameRecord(self.frame_id, timestamp, self.ref_kf, T_rel, state)
+            FrameRecord(job.frame_id, job.timestamp, ref_kf, T_rel, state)
         )
 
     # ------------------------------------------------------------- outputs
@@ -670,6 +909,7 @@ class StereoVO:
     def trajectory_wc(self) -> np.ndarray:
         """(N, 4, 4) Twc for every processed frame, reconstructed through
         reference keyframes (SaveTrajectoryKITTI semantics)."""
+        self.flush()
         out = []
         kf_R = np.asarray(self.map.kf_R)
         kf_t = np.asarray(self.map.kf_t)

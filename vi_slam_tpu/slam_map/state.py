@@ -58,6 +58,12 @@ class MapState(NamedTuple):
     mp_obs_kf: jnp.ndarray  # (M, P) int32, -1 empty
     mp_obs_idx: jnp.ndarray  # (M, P) int32
     mp_n_obs: jnp.ndarray  # (M,) int32
+    # device-resident allocation cursors: number of map-point ids / KF
+    # slots ever allocated. Keeping them on device lets the in-frame
+    # keyframe decision + creation chain without a host round trip (the
+    # host mirrors refresh from the per-frame packed pull).
+    mp_count: jnp.ndarray  # (1,) int32
+    kf_count: jnp.ndarray  # (1,) int32
 
     @property
     def capacity(self) -> Tuple[int, int, int, int]:
@@ -105,6 +111,8 @@ def allocate(
         mp_obs_kf=jnp.full((M, P), -1, jnp.int32),
         mp_obs_idx=jnp.full((M, P), -1, jnp.int32),
         mp_n_obs=jnp.zeros((M,), jnp.int32),
+        mp_count=jnp.zeros((1,), jnp.int32),
+        kf_count=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -144,8 +152,14 @@ def insert_keyframe(
         kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
         kf_mp=state.kf_mp.at[slot].set(jnp.where(feats.valid, mp_ids, -1)),
     )
-    # add observations mp -> (slot, kp_idx)
+    # add observations mp -> (slot, kp_idx); guard against ids of points
+    # culled since the match was computed (async pipeline: the tracking
+    # result may be one map version behind)
     has_mp = (mp_ids >= 0) & feats.valid
+    has_mp = has_mp & state.mp_valid[jnp.clip(mp_ids, 0, M - 1)]
+    state = state._replace(
+        kf_mp=state.kf_mp.at[slot].set(jnp.where(has_mp, mp_ids, -1))
+    )
     mp_safe = jnp.where(has_mp, mp_ids, M - 1)  # dump row for invalid
     obs_slot = jnp.clip(state.mp_n_obs[mp_safe], 0, P - 1)
     can_add = has_mp & (state.mp_n_obs[mp_safe] < P)
@@ -167,7 +181,10 @@ def insert_keyframe(
     )
     new_n_obs = new_n_obs.at[M - 1].set(state.mp_n_obs[M - 1])
     return state._replace(
-        mp_obs_kf=new_obs_kf, mp_obs_idx=new_obs_idx, mp_n_obs=new_n_obs
+        mp_obs_kf=new_obs_kf,
+        mp_obs_idx=new_obs_idx,
+        mp_n_obs=new_n_obs,
+        kf_count=jnp.maximum(state.kf_count, slot + 1).astype(jnp.int32),
     )
 
 
@@ -271,7 +288,12 @@ def create_points(
     kf_mp_row = kf_mp_row.at[kp_safe].set(
         jnp.where(create, ids, kf_mp_row[kp_safe])
     )
-    st = st._replace(kf_mp=st.kf_mp.at[kf_slot].set(kf_mp_row))
+    st = st._replace(
+        kf_mp=st.kf_mp.at[kf_slot].set(kf_mp_row),
+        mp_count=jnp.maximum(
+            st.mp_count, base_id + jnp.sum(create.astype(jnp.int32))
+        ).astype(jnp.int32),
+    )
     return st, ids
 
 
@@ -449,6 +471,50 @@ def keyframe_redundancy(state: MapState) -> jnp.ndarray:
     redundant = has & (n_obs >= 4)  # >= 3 others + itself
     n_pts = jnp.maximum(jnp.sum(has, axis=1), 1)
     return jnp.sum(redundant, axis=1) / n_pts
+
+
+@jax.jit
+def cull_redundant_keyframe(
+    state: MapState, lo: jnp.ndarray, hi: jnp.ndarray
+) -> Tuple[MapState, jnp.ndarray]:
+    """Pick and remove at most one redundant keyframe in slots [lo, hi)
+    (KeyFrameCulling, localmapping.cpp:946: >= 90% of its points seen by
+    >= 3 others) — fully on device so the KF-rate chain never syncs.
+
+    Returns (state, info (15,) f32): [did, slot, parent, R_rel row-major
+    (9), t_rel (3)] where T_rel = T_culled @ inv(T_parent) at cull time —
+    the spanning-tree hop the trajectory writer needs (system.cpp:440-449).
+    """
+    K = state.kf_valid.shape[0]
+    slots = jnp.arange(K, dtype=jnp.int32)
+    red = keyframe_redundancy(state)
+    cand = state.kf_valid & (slots >= lo) & (slots < hi) & (red > 0.9)
+    pick = jnp.argmax(jnp.where(cand, red, -1.0)).astype(jnp.int32)
+    did = cand[pick]
+    # parent: nearest older live KF
+    older = state.kf_valid & (slots < pick)
+    parent = jnp.argmax(jnp.where(older, slots, -1)).astype(jnp.int32)
+    T_k = SE3(state.kf_R[pick], state.kf_t[pick])
+    T_p = SE3(state.kf_R[parent], state.kf_t[parent])
+    T_rel = T_k.compose(T_p.inverse())
+    info = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    did.astype(jnp.float32),
+                    pick.astype(jnp.float32),
+                    parent.astype(jnp.float32),
+                ]
+            ),
+            T_rel.R.reshape(-1).astype(jnp.float32),
+            T_rel.t.astype(jnp.float32),
+        ]
+    )
+    culled = remove_keyframe(state, pick)
+    new_state = jax.tree.map(
+        lambda a, b: jnp.where(did, a, b), culled, state
+    )
+    return new_state, info
 
 
 @jax.jit

@@ -84,6 +84,11 @@ class TrackerConfig:
     kf_ref_ratio: float = 0.75  # insert KF if tracked < ratio * ref visible
     # re-localization grace window, seconds (time_recently_lost)
     recently_lost_sec: float = 5.0
+    # async pipeline depth: how many frames may be in flight before the
+    # host finalizes the oldest (0 = fully synchronous). Depth 1 overlaps
+    # the device round trip with the next frame's compute (SURVEY §2.4.2
+    # thread-trio equivalent).
+    pipeline_depth: int = 1
 
 
 @dataclass(frozen=True)
