@@ -1,0 +1,158 @@
+"""End-to-end stereo-inertial VIO on the synthetic inertial world.
+
+Covers the inertial branches of the reference core loop: per-frame
+preintegration (tracking.cpp:1384), IMU pose prediction (:1507), staged
+IMU initialization (localmapping.cpp:1231), visual-inertial local BA
+(optimizer.cpp:3974), and the IMU dead-reckoning bridge through
+RECENTLY_LOST (tracking.cpp:1816-1835).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vi_slam_tpu.imu import preintegration as pre
+from vi_slam_tpu.io import evaluation, synthetic
+from vi_slam_tpu.pipeline.stereo_vo import StereoVO
+from vi_slam_tpu.pipeline.vio import StereoInertialVO
+from vi_slam_tpu.utils.config import (
+    BAConfig,
+    CameraConfig,
+    ExtractorConfig,
+    IMUConfig,
+    MapConfig,
+    SystemConfig,
+    TrackerConfig,
+)
+
+WIDTH, HEIGHT = 640, 480
+FX = FY = 500.0
+CX, CY = 320.0, 240.0
+BF = 250.0
+N_FRAMES = 80
+
+
+def make_cfg():
+    return SystemConfig(
+        camera=CameraConfig(
+            width=WIDTH, height=HEIGHT, fx=FX, fy=FY, cx=CX, cy=CY,
+            bf=BF, th_depth=40.0, fps=10.0,
+        ),
+        extractor=ExtractorConfig(n_features=1200),
+        ba=BAConfig(max_local_kfs=8, max_local_points=2048,
+                    local_ba_iters=6, inertial_window=8),
+        map=MapConfig(max_keyframes=128, max_points=32768,
+                      max_obs_per_point=8),
+        imu=IMUConfig(freq=200.0),
+        tracker=TrackerConfig(max_frames_between_kf=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def inertial_world():
+    return synthetic.make_inertial_world(
+        n_frames=N_FRAMES, fps=10.0, n_landmarks=5000, seed=3
+    )
+
+
+def run_vio(iw, drop_frames=(), inertial=True):
+    cfg = make_cfg()
+    vo = StereoInertialVO(cfg) if inertial else StereoVO(cfg)
+    states = []
+    for i in range(N_FRAMES):
+        mf = 3 if i in drop_frames else 1000
+        fr = synthetic.render_oracle_frame(
+            iw.world, i, FX, FY, CX, CY, BF, WIDTH, HEIGHT,
+            max_features=mf, px_noise=0.3,
+        )
+        if inertial:
+            st = vo.process_oracle_inertial(
+                fr.xy, fr.uright, fr.depth, fr.desc, fr.level,
+                iw.imu_per_frame[i], iw.timestamps[i],
+            )
+        else:
+            st = vo.process_oracle(
+                fr.xy, fr.uright, fr.depth, fr.desc, fr.level,
+                iw.timestamps[i],
+            )
+        states.append(st.state)
+    traj = vo.trajectory_wc()
+    ate = evaluation.ate_rmse(
+        traj[:, :3, 3], iw.world.poses_wc[: len(traj), :3, 3]
+    )
+    return vo, states, ate
+
+
+@pytest.fixture(scope="module")
+def vio_run(inertial_world):
+    return run_vio(inertial_world)
+
+
+class TestStereoInertial:
+    def test_initializes_and_tracks(self, vio_run):
+        vo, states, ate = vio_run
+        assert vo.imu_ready
+        assert vo._init_stage >= 2  # staged refinement ran
+        assert states.count("LOST") == 0
+        assert states.count("OK") >= N_FRAMES - 2
+
+    def test_bias_and_gravity_estimates(self, inertial_world, vio_run):
+        vo, _, _ = vio_run
+        iw = inertial_world
+        got = jax.device_get({"bg": vo.bg_dev, "g": vo.g_w_dev})
+        assert np.linalg.norm(got["bg"] - iw.bias_gyro) < 1.5e-3, got["bg"]
+        # gravity direction within ~1 degree
+        cosang = got["g"] @ iw.gravity_w / (
+            np.linalg.norm(got["g"]) * np.linalg.norm(iw.gravity_w)
+        )
+        assert cosang > np.cos(np.radians(1.0)), got["g"]
+
+    def test_ate_small(self, vio_run):
+        _, _, ate = vio_run
+        assert ate["rmse"] < 0.05, ate
+
+    def test_velocity_estimate_tracks_truth(self, inertial_world, vio_run):
+        vo, _, _ = vio_run
+        iw = inertial_world
+        v = jax.device_get(vo.vel_w_dev)
+        assert np.linalg.norm(v - iw.vel_w[N_FRAMES - 1]) < 0.15, v
+
+
+class TestDeadReckoningBridge:
+    """A 1 s total feature dropout: IMU-on must bridge it by dead
+    reckoning where visual-only drifts on the frozen pose."""
+
+    def test_imu_bridges_dropout(self, inertial_world):
+        drop = set(range(45, 55))
+        _, states_v, ate_v = run_vio(inertial_world, drop, inertial=False)
+        vo_i, states_i, ate_i = run_vio(inertial_world, drop, inertial=True)
+        assert states_i.count("LOST") == 0
+        assert "RECENTLY_LOST" in states_i  # the dropout was noticed
+        assert ate_i["rmse"] < 0.05, ate_i
+        # and beats visual-only by a wide margin
+        assert ate_i["rmse"] < 0.5 * ate_v["rmse"], (ate_i, ate_v)
+
+
+class TestPreintegrationCompose:
+    def test_compose_matches_direct_integration(self):
+        rng = np.random.default_rng(0)
+        calib = pre.ImuCalib.make(1.7e-4, 2e-3, 1.9e-5, 3e-3, 200.0)
+        T = 40
+        acc = jnp.asarray(rng.normal(0, 2, (T, 3)) + np.array([0, 0, 9.8]))
+        gyro = jnp.asarray(rng.normal(0, 0.3, (T, 3)))
+        dts = jnp.full((T,), 1 / 200.0)
+        bg = jnp.asarray([0.01, -0.02, 0.005])
+        ba = jnp.asarray([0.1, -0.05, 0.02])
+        full = pre.integrate(calib, acc, gyro, dts, bg, ba)
+        h1 = pre.integrate(calib, acc[:25], gyro[:25], dts[:25], bg, ba)
+        h2 = pre.integrate(calib, acc[25:], gyro[25:], dts[25:], bg, ba)
+        comp = pre.compose(h1, h2)
+        np.testing.assert_allclose(comp.dR, full.dR, atol=1e-4)
+        np.testing.assert_allclose(comp.dV, full.dV, atol=1e-4)
+        np.testing.assert_allclose(comp.dP, full.dP, atol=1e-4)
+        np.testing.assert_allclose(comp.dt, full.dt, atol=1e-6)
+        # Jacobians/covariance agree to first order
+        np.testing.assert_allclose(comp.JRg, full.JRg, atol=2e-3)
+        np.testing.assert_allclose(comp.JPa, full.JPa, atol=2e-3)
+        assert float(jnp.max(jnp.abs(comp.C - full.C))) < 5e-8

@@ -167,6 +167,58 @@ def integrate(
     return final
 
 
+@jax.jit
+def compose(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
+    """Chain two preintegrated segments (1 then 2) sharing a linearization
+    bias into one, in O(1) — deltas, bias Jacobians, and covariance all
+    compose in closed form. The reference instead re-integrates the raw
+    sample buffer on keyframe deletion (`Preintegrated::MergePrevious`,
+    imu.cpp:305); composition gives the same first-order object without
+    keeping samples around.
+
+    Derivation: with e = [phi, dv, dp] the right-perturbation error,
+      dR~ = dR1 Exp(phi1) dR2 Exp(phi2) = dR Exp(dR2^T phi1 + phi2)
+      dV~ = dV + dv1 - dR1 hat(dV2) phi1 + dR1 dv2
+      dP~ = dP + dp1 + dv1 dt2 - dR1 hat(dP2) phi1 + dR1 dp2
+    so C9 = A1 C9_1 A1^T + A2 C9_2 A2^T (segments are independent)."""
+    dtype = p1.dP.dtype
+    dt2 = p2.dt
+    dR = so3.normalize(p1.dR @ p2.dR)
+    dV = p1.dV + p1.dR @ p2.dV
+    dP = p1.dP + p1.dV * dt2 + p1.dR @ p2.dP
+
+    # bias Jacobians of the composition (first order, shared lin. point)
+    JRg = p2.dR.T @ p1.JRg + p2.JRg
+    JVg = p1.JVg + p1.dR @ p2.JVg - p1.dR @ so3.hat(p2.dV) @ p1.JRg
+    JVa = p1.JVa + p1.dR @ p2.JVa
+    JPg = (p1.JPg + p1.JVg * dt2 + p1.dR @ p2.JPg
+           - p1.dR @ so3.hat(p2.dP) @ p1.JRg)
+    JPa = p1.JPa + p1.JVa * dt2 + p1.dR @ p2.JPa
+
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype)
+    A1 = jnp.block([
+        [p2.dR.T, Z3, Z3],
+        [-p1.dR @ so3.hat(p2.dV), I3, Z3],
+        [-p1.dR @ so3.hat(p2.dP), I3 * dt2, I3],
+    ])
+    A2 = jnp.block([
+        [I3, Z3, Z3],
+        [Z3, p1.dR, Z3],
+        [Z3, Z3, p1.dR],
+    ])
+    C9 = A1 @ p1.C[:9, :9] @ A1.T + A2 @ p2.C[:9, :9] @ A2.T
+    C = jnp.zeros((15, 15), dtype)
+    C = C.at[:9, :9].set(C9)
+    C = C.at[9:15, 9:15].set(p1.C[9:15, 9:15] + p2.C[9:15, 9:15])
+    return Preintegrated(
+        dR=dR, dV=dV, dP=dP, C=C,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+        dt=p1.dt + dt2,
+        bias_gyro=p1.bias_gyro, bias_acc=p1.bias_acc,
+    )
+
+
 def delta_with_bias(
     p: Preintegrated, bias_gyro: jnp.ndarray, bias_acc: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -223,3 +223,117 @@ def render_billboard_image(
         y0c, y1c = max(y0, 0), min(y1, height)
         img[y0c:y1c, x0c:x1c] = world.intensities[i]
     return img
+
+
+class InertialWorld(NamedTuple):
+    """LandmarkWorld + synchronized IMU stream with known calibration."""
+
+    world: LandmarkWorld
+    imu_per_frame: List[np.ndarray]  # frame i: (n_i, 7) [t, acc3, gyro3] in (t_{i-1}, t_i]
+    vel_w: np.ndarray  # (N, 3) ground-truth body velocity at frame times
+    gravity_w: np.ndarray  # (3,) gravity acceleration vector in world frame
+    bias_gyro: np.ndarray  # (3,) true constant gyro bias
+    bias_acc: np.ndarray  # (3,)
+    timestamps: np.ndarray  # (N,) frame times
+
+
+def make_inertial_world(
+    n_frames: int = 40,
+    fps: float = 10.0,
+    imu_rate: float = 200.0,
+    n_landmarks: int = 6000,
+    corridor_half_width: float = 12.0,
+    seed: int = 0,
+    speed: float = 1.2,
+    bias_gyro=(0.002, -0.001, 0.0015),
+    bias_acc=(0.05, -0.03, 0.02),
+    noise_gyro: float = 1.7e-4,
+    noise_acc: float = 2.0e-3,
+) -> InertialWorld:
+    """Analytic smooth trajectory (closed-form velocity/acceleration) in the
+    KITTI camera convention (x right, y down, z forward; gravity +y) with
+    exact IMU measurements: accel_b = R_wb^T (a_w - g_w) + b_a + n,
+    gyro_b = omega_b + b_g + n. Body frame == camera frame (T_bc = I
+    variant; pipelines with extrinsics pre-compose them)."""
+    rng = np.random.default_rng(seed)
+    g_w = np.asarray([0.0, 9.81, 0.0])
+
+    ax_, wx_ = 0.8, 0.5
+    ay_, wy_ = 0.15, 0.9
+    az_, wz_ = 0.5, 0.4
+    yaw0, wyaw = 0.25, 0.3
+
+    def pos(t):
+        return np.stack(
+            [ax_ * np.sin(wx_ * t), ay_ * np.sin(wy_ * t),
+             speed * t + az_ * np.sin(wz_ * t)], axis=-1)
+
+    def vel(t):
+        return np.stack(
+            [ax_ * wx_ * np.cos(wx_ * t), ay_ * wy_ * np.cos(wy_ * t),
+             speed + az_ * wz_ * np.cos(wz_ * t)], axis=-1)
+
+    def acc(t):
+        return np.stack(
+            [-ax_ * wx_ ** 2 * np.sin(wx_ * t), -ay_ * wy_ ** 2 * np.sin(wy_ * t),
+             -az_ * wz_ ** 2 * np.sin(wz_ * t)], axis=-1)
+
+    def yaw(t):
+        return yaw0 * np.sin(wyaw * t)
+
+    def yawdot(t):
+        return yaw0 * wyaw * np.cos(wyaw * t)
+
+    def roty(y):
+        c, s = np.cos(y), np.sin(y)
+        R = np.zeros((*np.shape(y), 3, 3))
+        R[..., 0, 0] = c
+        R[..., 0, 2] = s
+        R[..., 1, 1] = 1.0
+        R[..., 2, 0] = -s
+        R[..., 2, 2] = c
+        return R
+
+    t_frames = np.arange(n_frames) / fps
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    poses[:, :3, :3] = roty(yaw(t_frames))
+    poses[:, :3, 3] = pos(t_frames)
+
+    # landmarks in a corridor around the path
+    centers = poses[rng.integers(0, n_frames, n_landmarks), :3, 3]
+    offs = np.stack(
+        [
+            rng.uniform(-corridor_half_width, corridor_half_width, n_landmarks),
+            rng.uniform(-4.0, 2.0, n_landmarks),
+            rng.uniform(2.0, 45.0, n_landmarks),
+        ],
+        axis=-1,
+    )
+    pts = centers + offs
+    desc = rng.integers(0, 2 ** 32, size=(n_landmarks, 8), dtype=np.uint32)
+    world = LandmarkWorld(points=pts, desc=desc, poses_wc=poses)
+
+    bg = np.asarray(bias_gyro)
+    ba = np.asarray(bias_acc)
+    sg = noise_gyro * np.sqrt(imu_rate)
+    sa = noise_acc * np.sqrt(imu_rate)
+    imu_per_frame: List[np.ndarray] = [np.zeros((0, 7))]
+    dt_imu = 1.0 / imu_rate
+    for i in range(1, n_frames):
+        ts = np.arange(t_frames[i - 1] + dt_imu, t_frames[i] + dt_imu / 2, dt_imu)
+        Rwb = roty(yaw(ts))  # (n,3,3) body-to-world
+        a_b = np.einsum("nji,nj->ni", Rwb, acc(ts) - g_w[None, :])
+        w_b = np.einsum(
+            "nji,nj->ni", Rwb,
+            np.stack([np.zeros_like(ts), yawdot(ts), np.zeros_like(ts)], -1),
+        )
+        a_b = a_b + ba[None, :] + rng.normal(0, sa, a_b.shape)
+        w_b = w_b + bg[None, :] + rng.normal(0, sg, w_b.shape)
+        imu_per_frame.append(
+            np.concatenate([ts[:, None], a_b, w_b], axis=1)
+        )
+    vels = vel(t_frames)
+    return InertialWorld(
+        world=world, imu_per_frame=imu_per_frame, vel_w=vels,
+        gravity_w=g_w, bias_gyro=bg, bias_acc=ba, timestamps=t_frames,
+    )

@@ -18,7 +18,7 @@ Jacobian from `jax.jacfwd` of the stacked residual. No graph machinery.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,11 +49,18 @@ def inertial_init(
     iters: int = 20,
     optimize_scale: bool = True,
     gravity_mag: float = pre.GRAVITY,
+    Rwg0: Optional[jnp.ndarray] = None,
 ) -> InertialInit:
-    """Estimate (Rwg, s, bg, ba, velocities) against fixed visual poses."""
+    """Estimate (Rwg, s, bg, ba, velocities) against fixed visual poses.
+
+    `Rwg0` seeds the gravity-aligning rotation (the reference seeds it from
+    the accumulated velocity-delta direction, localmapping.cpp:1276); the
+    2-DoF chart then only has to express a small correction."""
     K = Rwb.shape[0]
     dtype = pwb.dtype
     g0 = jnp.asarray([0.0, 0.0, -gravity_mag], dtype)
+    if Rwg0 is None:
+        Rwg0 = jnp.eye(3, dtype=dtype)
 
     # initial velocity guess from position differences
     dt = jnp.maximum(preint.dt, 1e-3)  # (K-1,)
@@ -66,7 +73,7 @@ def inertial_init(
         bg = params[3:6]
         ba = params[6:9]
         vel = params[9:].reshape(K, 3)
-        Rwg = so3.exp(jnp.concatenate([theta, jnp.zeros((1,), dtype)]))
+        Rwg = Rwg0 @ so3.exp(jnp.concatenate([theta, jnp.zeros((1,), dtype)]))
         s = jnp.exp(log_s) if optimize_scale else jnp.ones((), dtype)
         return Rwg, s, bg, ba, vel
 
@@ -101,10 +108,18 @@ def inertial_init(
         params, cost, lam = carry
         r = residuals(params)
         J = jax.jacfwd(residuals)(params)
-        H = J.T @ J
-        g = J.T @ r
-        damp = lam * (jnp.trace(H) / n_params) + 1e-10
-        dx = -jnp.linalg.solve(H + damp * jnp.eye(n_params, dtype=dtype), g)
+        # damped least squares on the Jacobian itself (augmented rows)
+        # rather than normal equations: the whitened system's conditioning
+        # is brutal (information diagonals span 1e2..1e8) and f32 J^T J
+        # stalls LM far from the optimum; lstsq works at cond(J) instead
+        # of cond(J)^2. The problem is tiny (<=200 x 57), cost is nil.
+        col = jnp.linalg.norm(J, axis=0)
+        col = jnp.where(col > 1e-12, col, 1.0)
+        Js = J / col
+        damp = jnp.sqrt(lam) * jnp.eye(n_params, dtype=dtype)
+        A = jnp.concatenate([Js, damp], axis=0)
+        b = jnp.concatenate([r, jnp.zeros((n_params,), dtype)])
+        dx = (-jnp.linalg.lstsq(A, b)[0] / col).astype(dtype)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         cand = params + dx
         cand_cost = jnp.sum(residuals(cand) ** 2)

@@ -204,10 +204,15 @@ def gather_ba_problem(
     kf_alive = (window_kfs >= 0) & state.kf_valid[kf_safe]
     fixed = window_fixed | ~kf_alive
 
-    # global slot -> window index lookup
+    # global slot -> window index lookup. NB: -1-padded window rows clip to
+    # slot 0, so they scatter to the same index as a real slot-0 entry; a
+    # plain .set would nondeterministically clobber the anchor keyframe's
+    # window index (dropping all its observations and letting the window
+    # rotate off the gauge). max-scatter is collision-safe because live
+    # window slots are unique and pads contribute -1.
     slot_of = jnp.full((K_total,), -1, jnp.int32)
     widx = jnp.arange(n_window, dtype=jnp.int32)
-    slot_of = slot_of.at[kf_safe].set(jnp.where(kf_alive, widx, -1))
+    slot_of = slot_of.at[kf_safe].max(jnp.where(kf_alive, widx, -1))
 
     ids_safe = jnp.clip(mp_ids, 0, M_total - 1)
     pts = state.mp_pos[ids_safe]
@@ -250,22 +255,21 @@ def scatter_ba_result(
     poses: SE3,
     points: jnp.ndarray,
 ) -> MapState:
-    """Write optimized poses/points back into the map."""
+    """Write optimized poses/points back into the map.
+
+    Non-updated rows scatter to an out-of-bounds index with mode='drop'
+    (a clipped pad index would collide with slot/point 0 and
+    nondeterministically overwrite its update with a stale value)."""
     K_total = state.kf_R.shape[0]
     M_total = state.mp_pos.shape[0]
-    kf_safe = jnp.clip(window_kfs, 0, K_total - 1)
     upd = (window_kfs >= 0) & ~window_fixed
-    new_R = state.kf_R.at[kf_safe].set(
-        jnp.where(upd[:, None, None], poses.R, state.kf_R[kf_safe])
-    )
-    new_t = state.kf_t.at[kf_safe].set(
-        jnp.where(upd[:, None], poses.t, state.kf_t[kf_safe])
-    )
+    kf_idx = jnp.where(upd, window_kfs, K_total)
+    new_R = state.kf_R.at[kf_idx].set(poses.R, mode="drop")
+    new_t = state.kf_t.at[kf_idx].set(poses.t, mode="drop")
     ids_safe = jnp.clip(mp_ids, 0, M_total - 1)
     updp = (mp_ids >= 0) & state.mp_valid[ids_safe]
-    new_pos = state.mp_pos.at[ids_safe].set(
-        jnp.where(updp[:, None], points, state.mp_pos[ids_safe])
-    )
+    mp_idx = jnp.where(updp, mp_ids, M_total)
+    new_pos = state.mp_pos.at[mp_idx].set(points, mode="drop")
     return state._replace(kf_R=new_R, kf_t=new_t, mp_pos=new_pos)
 
 

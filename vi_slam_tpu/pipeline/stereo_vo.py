@@ -623,32 +623,7 @@ class StereoVO:
         min_ok = max(self.cfg.tracker.min_matches_motion // 2, 10)
         failed = n_in < min_ok
         if self.state in (OK, RECENTLY_LOST) and failed or self.state == LOST:
-            n_rel = self._try_relocalize(job.feats, job.uright)
-            if n_rel > 0:
-                self.state = OK
-                st.n_inliers = n_rel
-                self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
-                             OK)
-                st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
-                self.stats.append(st)
-                return st
-            if self.state == OK:
-                self.state = RECENTLY_LOST
-                self._lost_since = job.timestamp
-                # freeze the device pose chain at the last good pose so
-                # in-flight prediction stops compounding a bad estimate
-                self.T_dev = SE3(*self._last_good)
-                self.vel_dev = SE3.identity()
-            elif self.state == RECENTLY_LOST and (
-                job.timestamp - self._lost_since
-                > self.cfg.tracker.recently_lost_sec
-            ):
-                self.state = LOST
-            self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
-                         self.state)
-            st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
-            self.stats.append(st)
-            return st
+            return self._handle_failure(job, st, T_np)
 
         # accept
         self.state = OK
@@ -674,14 +649,8 @@ class StereoVO:
                 self.records[-1] = FrameRecord(
                     job.frame_id, job.timestamp, slot, np.eye(4), OK
                 )
-                with self.timer.stage("local_ba"):
-                    self._local_ba()
-                with self.timer.stage("culling"):
-                    self._culling()
-                if self.loop_closer is not None:
-                    with self.timer.stage("loop_closing"):
-                        self._loop_closing()
-                self._ref_kf_tracked = n_in
+                self._on_keyframe_created(job, slot)
+                self._kf_mapping(n_in)
         else:
             self.frames_since_kf += 1
             self._record(job, T_np, ref_pose, job.ref_kf, OK)
@@ -698,19 +667,57 @@ class StereoVO:
                 self.records[-1] = FrameRecord(
                     job.frame_id, job.timestamp, self.ref_kf, np.eye(4), OK
                 )
-                with self.timer.stage("local_ba"):
-                    self._local_ba()
-                with self.timer.stage("culling"):
-                    self._culling()
-                if self.loop_closer is not None:
-                    with self.timer.stage("loop_closing"):
-                        self._loop_closing()
+                self._on_keyframe_created(job, self.ref_kf)
+                self._kf_mapping(n_in)
                 self.frames_since_kf = 0
-                self._ref_kf_tracked = n_in
 
         st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
         self.stats.append(st)
         return st
+
+    def _handle_failure(self, job: FrameJob, st: TrackStats,
+                        T_np: np.ndarray) -> TrackStats:
+        """Failed-frame ladder: relocalize, else degrade
+        OK -> RECENTLY_LOST -> LOST. The inertial subclass overrides this
+        to bridge the grace window by IMU dead reckoning
+        (tracking.cpp:1816-1835 IMU branch)."""
+        n_rel = self._try_relocalize(job.feats, job.uright)
+        if n_rel > 0:
+            self.state = OK
+            st.n_inliers = n_rel
+            self._record(job, self.T_np, self.ref_pose_np, self.ref_kf, OK)
+            st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
+            self.stats.append(st)
+            return st
+        if self.state == OK:
+            self.state = RECENTLY_LOST
+            self._lost_since = job.timestamp
+            # freeze the device pose chain at the last good pose so
+            # in-flight prediction stops compounding a bad estimate
+            self.T_dev = SE3(*self._last_good)
+            self.vel_dev = SE3.identity()
+        elif self.state == RECENTLY_LOST and (
+            job.timestamp - self._lost_since
+            > self.cfg.tracker.recently_lost_sec
+        ):
+            self.state = LOST
+        self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
+                     self.state)
+        st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
+        self.stats.append(st)
+        return st
+
+    def _kf_mapping(self, n_in: int):
+        """LocalMapping + LoopClosing duties run at keyframe rate
+        (localmapping.cpp:50-260 loop body)."""
+        with self.timer.stage("local_ba"):
+            self._local_ba()
+        with self.timer.stage("culling"):
+            self._culling()
+        if self.loop_closer is not None:
+            with self.timer.stage("loop_closing"):
+                self._loop_closing()
+        self._ref_kf_tracked = n_in
 
     # ------------------------------------------------------------- helpers
 
@@ -736,6 +743,10 @@ class StereoVO:
         self._ref_kf_tracked = n_good
         self.carry_dev = jnp.asarray([0, n_good], jnp.int32)
         return True
+
+    def _on_keyframe_created(self, job: FrameJob, slot: int):
+        """Subclass hook: called right after a keyframe is inserted (the
+        inertial pipeline closes its preintegration segment here)."""
 
     def _need_keyframe(self, n_in, n_tracked_close, n_creatable) -> bool:
         """NeedNewKeyFrame (tracking.cpp:2925), stereo conditions."""

@@ -1,0 +1,569 @@
+"""Stereo/mono visual-inertial odometry pipeline.
+
+Semantic reference — the inertial branches of the reference's core loop:
+  * `Tracking::PreintegrateIMU` (/root/reference/src/core/tracking.cpp:1384)
+    — per-frame integration of the sample queue,
+  * `Tracking::PredictStateIMU` (tracking.cpp:1507) — IMU pose prediction
+    replacing the constant-velocity model,
+  * `Optimizer::PoseInertialOptimizationLastFrame` (optimizer.cpp:7095) —
+    per-frame visual+inertial pose/velocity solve,
+  * `LocalMapping::InitializeIMU` (localmapping.cpp:1231) — staged
+    gravity/scale/bias initialization (VIBA1 @2s, VIBA2 @15s analogues),
+  * `Optimizer::LocalInertialBA` (optimizer.cpp:3974) — keyframe-rate
+    sliding-window visual-inertial BA,
+  * the IMU branch of the RECENTLY_LOST ladder (tracking.cpp:1816-1835) —
+    dead reckoning bridges the grace window.
+
+TPU design:
+  * The per-keyframe preintegration chain lives DEVICE-RESIDENT as one
+    stacked `Preintegrated` with a leading (max_keyframes,) dim; keyframe
+    creation closes the running segment with one tiny scatter dispatch, and
+    keyframe culling welds the chain by composing neighbours in closed form
+    (`preintegration.compose`) instead of re-integrating raw samples.
+  * Per frame: ONE `integrate` scan over a fixed-capacity padded sample
+    buffer, one `compose` into the running segment, and one fused
+    track program (predict -> project -> match -> 9-dof GN with the
+    inertial prior). No data-dependent shapes anywhere.
+  * VI-BA gathers its temporal window (consecutive chain keyframes) and
+    the matching preintegration rows entirely on device.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vi_slam_tpu.imu import preintegration as pre
+from vi_slam_tpu.lie import se3, so3
+from vi_slam_tpu.lie.se3 import SE3
+from vi_slam_tpu.ops import match as match_ops
+from vi_slam_tpu.optim import pose_inertial
+from vi_slam_tpu.optim import inertial_init as iinit
+from vi_slam_tpu.optim import vi_ba
+from vi_slam_tpu.pipeline import steps
+from vi_slam_tpu.pipeline.stereo_vo import (
+    LOST,
+    NOT_INITIALIZED,
+    OK,
+    RECENTLY_LOST,
+    FrameJob,
+    StereoVO,
+    TrackBundle,
+    TrackStats,
+    make_oracle_features,
+    _PK_NIN,
+)
+from vi_slam_tpu.utils.config import SystemConfig
+from vi_slam_tpu.utils.precision import precise
+
+
+def _pad_imu(samples: np.ndarray, t_prev: float, t_now: float, cap: int):
+    """Pad an (n, 7) [t, acc3, gyro3] batch into fixed-capacity
+    (acc (cap,3), gyro (cap,3), dts (cap,)) with per-sample dt spans
+    covering (t_prev, t_now] exactly (zero-dt rows are skipped by the
+    integrator)."""
+    acc = np.zeros((cap, 3), np.float32)
+    gyro = np.zeros((cap, 3), np.float32)
+    dts = np.zeros((cap,), np.float32)
+    if samples is None or len(samples) == 0:
+        return acc, gyro, dts
+    s = np.asarray(samples, np.float64)[:cap]
+    t = s[:, 0]
+    n = len(s)
+    # dt_i spans from the previous stamp (or t_prev) to this stamp; the last
+    # sample's span is stretched to t_now (PreintegrateIMU boundary handling,
+    # tracking.cpp:1415-1460 simplified to zero-order hold)
+    prev = np.concatenate([[t_prev], t[:-1]])
+    d = t - prev
+    d[-1] = max(t_now - prev[-1], 0.0)
+    acc[:n] = s[:, 1:4]
+    gyro[:n] = s[:, 4:7]
+    dts[:n] = np.maximum(d, 0.0)
+    return acc, gyro, dts
+
+
+class StereoInertialVO(StereoVO):
+    """IMU_STEREO / IMU_RGBD sensor mode (system.h:96-102): StereoVO with
+    the four inertial subsystems wired in."""
+
+    def __init__(self, cfg: SystemConfig, timer=None, vocab=None):
+        super().__init__(cfg, timer=timer, vocab=vocab)
+        ic = cfg.imu
+        self.calib = pre.ImuCalib.make(
+            ic.noise_gyro, ic.noise_acc, ic.walk_gyro, ic.walk_acc, ic.freq
+        )
+        # fixed sample capacity per frame: generous 4x nominal rate
+        self.imu_cap = int(4 * max(ic.freq / cfg.camera.fps, 1))
+        if ic.T_bc is not None:
+            T = np.asarray(ic.T_bc, np.float64).reshape(4, 4)
+        else:
+            T = np.eye(4)
+        self.R_bc = jnp.asarray(T[:3, :3], jnp.float32)
+        self.t_bc = jnp.asarray(T[:3, 3], jnp.float32)
+        self.gravity_mag = float(ic.gravity)
+
+        K = cfg.map.max_keyframes
+        ident = pre.identity_preintegrated()
+        self.kf_preint_dev = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (K, *x.shape)).copy(), ident
+        )
+        self.kf_vel_dev = jnp.zeros((K, 3), jnp.float32)
+        self.bg_dev = jnp.zeros((3,), jnp.float32)
+        self.ba_dev = jnp.zeros((3,), jnp.float32)
+        self.g_w_dev = jnp.zeros((3,), jnp.float32)
+        self.vel_w_dev = jnp.zeros((3,), jnp.float32)
+        self._accum = ident
+        self._last_ts: Optional[float] = None
+        self.imu_ready = False
+        self._init_stage = 0  # 0 = none, 1 = first init, 2 = refined
+        self.kf_chain: List[int] = []  # live KF slots in temporal order
+        self._build_vio_fns()
+
+    # ----------------------------------------------------- device programs
+
+    def _build_vio_fns(self):
+        cfg = self.cfg
+        cam = self.cam
+        ext_cfg = cfg.extractor
+        W, H = cfg.camera.width, cfg.camera.height
+        n_local = cfg.ba.max_local_points
+        radius = cfg.tracker.search_radius
+        th_high = cfg.matcher.th_high
+        ratio = cfg.matcher.nn_ratio
+        rounds = cfg.ba.pose_rounds
+        iters = cfg.ba.pose_iters_per_round
+        level_scales = self.level_scales
+        n_feats = ext_cfg.n_features
+        n_window = cfg.ba.max_local_kfs
+        R_bc, t_bc = self.R_bc, self.t_bc
+        min_matches = cfg.tracker.min_matches_motion
+
+        def _integrate_and_accum(accum, acc, gyro, dts, bg, ba):
+            p_frame = pre.integrate(self.calib, acc, gyro, dts, bg, ba)
+            return pre.compose(accum, p_frame), p_frame
+
+        self._integrate_fn = jax.jit(_integrate_and_accum)
+
+        @precise
+        def _track_vio(mstate, ref_slot, feats, uright, depth, T_last,
+                       v_last, p_frame, bg, ba, g_w):
+            """Fused inertial frame core: PredictStateIMU + projection
+            matching + PoseInertialOptimizationLastFrame, one dispatch."""
+            T_pred, v_pred = pose_inertial.predict_camera_pose(
+                p_frame, T_last, v_last, bg, ba, g_w, R_bc, t_bc
+            )
+            window = steps.covis_window(mstate, ref_slot, n_window)
+            mp_ids, mp_mask = steps.gather_local_points(mstate, window, n_local)
+            proj = steps.project_local_points(
+                cam, mstate, mp_ids, mp_mask, T_pred, W, H,
+                n_levels=ext_cfg.n_levels, scale_factor=ext_cfg.scale_factor,
+            )
+            R1, p1 = pose_inertial.body_from_cam(T_last, R_bc, t_bc)
+
+            def run_match(rad):
+                m = match_ops.search_by_projection(
+                    proj.uv, proj.level, proj.desc, proj.valid,
+                    feats.xy, feats.level, feats.desc, feats.valid,
+                    radius=rad, level_scales=level_scales,
+                    max_dist=th_high, ratio=ratio,
+                )
+                m = match_ops.resolve_duplicate_targets(m, n_feats)
+                obs, kp_idx = steps.build_pose_obs(proj, m, feats, uright)
+                T_opt, v_opt, inlier, n_in = pose_inertial.pose_inertial_optimize(
+                    cam, T_pred, v_pred, obs, p_frame,
+                    R1, v_last, p1, bg, ba, g_w, R_bc, t_bc,
+                    rounds=rounds, iters=iters,
+                )
+                return m, kp_idx, T_opt, v_opt, inlier, n_in
+
+            m1, kp1, T1, v1, in1, n1 = run_match(radius)
+            m2, kp2, T2, v2, in2, n2 = run_match(3.0 * radius)
+            use_wide = n1 < min_matches
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(use_wide, y, x), a, b
+            )
+            m, kp_idx, T, v_new, inlier, n_in = (
+                pick(m1, m2), pick(kp1, kp2), pick(T1, T2), pick(v1, v2),
+                pick(in1, in2), jnp.where(use_wide, n2, n1),
+            )
+
+            ok = m.ok & proj.valid & inlier
+            matched_mp = steps.scatter_matches_to_kps(
+                n_feats, kp_idx, jnp.where(mp_ids >= 0, mp_ids, -1), ok
+            )
+            vel_se3 = T.compose(T_last.inverse())  # keep SE3 motion mirror
+            close = (depth > 0) & (depth < self.close_depth) & feats.valid
+            has_mp = matched_mp >= 0
+            ref_safe = jnp.clip(ref_slot, 0, mstate.kf_R.shape[0] - 1)
+            packed = jnp.concatenate(
+                [
+                    T.R.reshape(-1), T.t,
+                    mstate.kf_R[ref_safe].reshape(-1), mstate.kf_t[ref_safe],
+                    jnp.stack([
+                        n_in.astype(jnp.float32),
+                        jnp.sum(m.ok & proj.valid).astype(jnp.float32),
+                        jnp.sum(mp_mask).astype(jnp.float32),
+                        jnp.sum(close & has_mp).astype(jnp.float32),
+                        jnp.sum(close & ~has_mp).astype(jnp.float32),
+                        mstate.mp_count[0].astype(jnp.float32),
+                        jnp.zeros((), jnp.float32),
+                        jnp.full((), -1.0, jnp.float32),
+                        mstate.kf_count[0].astype(jnp.float32),
+                    ]),
+                ]
+            ).astype(jnp.float32)
+            bundle = TrackBundle(
+                T_R=T.R, T_t=T.t, vel_R=vel_se3.R, vel_t=vel_se3.t,
+                matched_mp=matched_mp, packed=packed,
+            )
+            return bundle, v_new
+
+        self._track_vio_fn = jax.jit(_track_vio)
+
+        def _close_segment(kf_preint, kf_vel, slot, accum, v, bg, ba):
+            """Keyframe creation: store the finished segment + velocity,
+            return a reset accumulator linearized at the current biases."""
+            kf_preint = jax.tree.map(
+                lambda buf, x: buf.at[slot].set(x), kf_preint, accum
+            )
+            kf_vel = kf_vel.at[slot].set(v)
+            fresh = pre.identity_preintegrated()._replace(
+                bias_gyro=bg, bias_acc=ba
+            )
+            return kf_preint, kf_vel, fresh
+
+        self._close_segment_fn = jax.jit(_close_segment)
+
+        def _weld_segment(kf_preint, culled, nxt):
+            """Keyframe culling: compose the culled KF's incoming segment
+            into its successor's (MergePrevious semantics, imu.cpp:305)."""
+            p_c = jax.tree.map(lambda x: x[culled], kf_preint)
+            p_n = jax.tree.map(lambda x: x[nxt], kf_preint)
+            merged = pre.compose(p_c, p_n)
+            return jax.tree.map(
+                lambda buf, x: buf.at[nxt].set(x), kf_preint, merged
+            )
+
+        self._weld_segment_fn = jax.jit(_weld_segment)
+
+        INIT_K = 16
+        self._init_k = INIT_K
+
+        def _gather_init(mstate, kf_preint, window):
+            """Inputs for inertial init: body poses + stacked segments for
+            a (INIT_K,) -1-padded temporal window of chain slots."""
+            K = mstate.kf_R.shape[0]
+            safe = jnp.clip(window, 0, K - 1)
+            poses = SE3(mstate.kf_R[safe], mstate.kf_t[safe])
+            Rwb, pwb = vi_ba._body_from_cam(poses, R_bc, t_bc)
+            seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
+            valid = (window[1:] >= 0) & (window[:-1] >= 0)
+            # seed gravity direction from accumulated velocity deltas
+            # (InitializeIMU dirG accumulation, localmapping.cpp:1276)
+            w = valid.astype(jnp.float32)
+            dirG = -jnp.sum(
+                jnp.einsum("kij,kj->ki", Rwb[:-1], seg.dV) * w[:, None],
+                axis=0,
+            )
+            dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
+            g0_hat = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+            vaxis = jnp.cross(g0_hat, dirG)
+            s = jnp.linalg.norm(vaxis)
+            c = jnp.dot(g0_hat, dirG)
+            ang = jnp.arctan2(s, c)
+            axis = vaxis / jnp.maximum(s, 1e-9)
+            Rwg0 = jnp.where(
+                s > 1e-6, so3.exp(axis * ang), jnp.eye(3, dtype=jnp.float32)
+            )
+            return Rwb, pwb, seg, valid, Rwg0
+
+        self._gather_init_fn = jax.jit(_gather_init)
+
+        ba_cfg = cfg.ba
+        Wv = ba_cfg.inertial_window
+        WF = min(6, ba_cfg.max_fixed_kfs)  # fixed covisible anchors
+        WT = Wv + WF
+        walk_g2 = float(cfg.imu.walk_gyro) ** 2
+        walk_a2 = float(cfg.imu.walk_acc) ** 2
+
+        @precise
+        def _vi_local_ba(mstate, kf_preint, kf_vel, temporal, fixed_t,
+                         last_idx, bg, ba, g_w, ref_slot):
+            """LocalInertialBA (optimizer.cpp:3974): the temporal keyframe
+            chain carries pose/vel/bias states and inertial edges; on top,
+            the most-covisible OUT-of-window keyframes join as fixed
+            vertices (optimizer.cpp:4076 lFixedKeyFrames) so shared map
+            points stay anchored to the rest of the map. Scatters
+            poses/points/velocities back and returns the pose-chain
+            correction like the visual `_local_ba`."""
+            K = mstate.kf_R.shape[0]
+            # fixed covisible anchors: top covis of ref, minus temporal ones
+            cand = steps.covis_window(mstate, ref_slot, WT)
+            in_temp = jnp.any(
+                cand[:, None] == temporal[None, :], axis=1
+            ) | (cand < 0)
+            key = jnp.where(in_temp, WT + 1, jnp.arange(WT))
+            order = jnp.argsort(key)[:WF]
+            anchors = jnp.where(
+                key[order] <= WT, cand[order], -1
+            ).astype(jnp.int32)
+            window = jnp.concatenate([temporal, anchors])
+            fixed = jnp.concatenate(
+                [fixed_t, jnp.ones((WF,), bool)]
+            )
+            mp_ids, _ = steps.gather_local_points(
+                mstate, temporal, ba_cfg.max_local_points
+            )
+            visual = steps.gather_ba_problem(
+                cam, mstate, window, fixed, mp_ids,
+                n_window=WT, n_points=ba_cfg.max_local_points,
+                n_obs=cfg.map.max_obs_per_point,
+            )
+            safe = jnp.clip(window, 0, K - 1)
+            vel = kf_vel[safe]
+            seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
+            # inertial edges only along the temporal chain prefix
+            ivalid = (
+                (window[1:] >= 0) & (window[:-1] >= 0)
+                & (jnp.arange(WT - 1) < Wv - 1)
+            )
+            dt = jnp.maximum(seg.dt, 1e-3)
+            prob = vi_ba.VIBAProblem(
+                visual=visual,
+                vel=vel,
+                bg=jnp.broadcast_to(bg, (WT, 3)),
+                ba=jnp.broadcast_to(ba, (WT, 3)),
+                preint=seg,
+                inertial_valid=ivalid,
+                gravity=g_w,
+                walk_info_g=1.0 / (walk_g2 * dt),
+                walk_info_a=1.0 / (walk_a2 * dt),
+                R_bc=R_bc, t_bc=t_bc,
+            )
+            res = vi_ba.vi_bundle_adjust(
+                cam, prob, iters=ba_cfg.local_ba_iters, use_huber=True
+            )
+            ref_pre = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
+            mstate = steps.scatter_ba_result(
+                mstate, window, fixed, mp_ids, res.poses, res.points
+            )
+            ref_post = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
+            # drop-mode scatter: pad rows must not clobber slot 0
+            upd = (window >= 0) & ~fixed
+            kf_vel = kf_vel.at[jnp.where(upd, window, K)].set(
+                res.vel, mode="drop"
+            )
+            delta = ref_pre.inverse().compose(ref_post)
+            return (mstate, kf_vel, res.bg[last_idx], res.ba[last_idx],
+                    delta.R, delta.t)
+
+        self._vi_ba_fn = jax.jit(_vi_local_ba, donate_argnums=(0,))
+
+        def _apply_init(kf_vel, window, vel, v_now_slot):
+            K = kf_vel.shape[0]
+            # drop-mode scatter: pad rows must not clobber slot 0
+            idx = jnp.where(window >= 0, window, K)
+            kf_vel = kf_vel.at[idx].set(vel, mode="drop")
+            return kf_vel, kf_vel[v_now_slot]
+
+        self._apply_init_fn = jax.jit(_apply_init)
+
+    # ------------------------------------------------------------------ API
+
+    def process_oracle_inertial(self, xy, uright, depth, desc, level,
+                                imu_samples, timestamp: float) -> TrackStats:
+        """Oracle-feature inertial path (tests/benchmarks without the image
+        frontend). `imu_samples`: (n, 7) [t, acc xyz, gyro xyz] in
+        (t_prev, t_now]."""
+        feats, ur, dp = make_oracle_features(
+            self.cfg.extractor.n_features, xy, uright, depth, desc, level
+        )
+        return self._inertial_entry(feats, ur, dp, imu_samples, timestamp)
+
+    def process_stereo_inertial(self, img_left, img_right, imu_samples,
+                                timestamp: float) -> TrackStats:
+        """Image inertial path (GrabImageStereo + GrabImuData semantics,
+        tracking.cpp:1229/:1362). Synchronous (no frame pipelining: the
+        IMU chain couples consecutive frames)."""
+        imgs = self._upload_images(img_left, img_right)
+        feats, ur, dp = self._extract_pair_fn(imgs)
+        return self._inertial_entry(feats, ur, dp, imu_samples, timestamp)
+
+    def _inertial_entry(self, feats, ur, dp, imu_samples,
+                        timestamp: float) -> TrackStats:
+        p_frame = self._preintegrate(imu_samples, timestamp)
+        if self.state == NOT_INITIALIZED:
+            return self._track_entry(feats, ur, dp, timestamp, None)
+        if self.imu_ready and p_frame is not None:
+            bundle, v_new = self._track_vio_fn(
+                self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
+                self.T_dev, self.vel_w_dev, p_frame,
+                self.bg_dev, self.ba_dev, self.g_w_dev,
+            )
+            self.vel_w_dev = v_new
+        else:
+            bundle = self._track_fn(
+                self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
+                self.T_dev, self.vel_dev,
+            )
+        return self._track_entry(feats, ur, dp, timestamp, bundle)
+
+    # ------------------------------------------------------------ inertial
+
+    def _preintegrate(self, imu_samples, timestamp: float):
+        """PreintegrateIMU (tracking.cpp:1384): integrate this frame's
+        sample batch and fold it into the running keyframe segment."""
+        if self._last_ts is None:
+            self._last_ts = timestamp
+            return None
+        acc, gyro, dts = _pad_imu(
+            imu_samples, self._last_ts, timestamp, self.imu_cap
+        )
+        self._last_ts = timestamp
+        self._accum, p_frame = self._integrate_fn(
+            self._accum, jnp.asarray(acc), jnp.asarray(gyro),
+            jnp.asarray(dts), self.bg_dev, self.ba_dev,
+        )
+        return p_frame
+
+    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp,
+                         pose_dev=None, frame_id=None, pose_np=None):
+        super()._create_keyframe(
+            feats, uright, depth, matched_mp, timestamp,
+            pose_dev=pose_dev, frame_id=frame_id, pose_np=pose_np,
+        )
+        slot = self.ref_kf
+        self.kf_preint_dev, self.kf_vel_dev, self._accum = (
+            self._close_segment_fn(
+                self.kf_preint_dev, self.kf_vel_dev, jnp.int32(slot),
+                self._accum, self.vel_w_dev, self.bg_dev, self.ba_dev,
+            )
+        )
+        self.kf_chain.append(slot)
+        self._maybe_init_imu()
+
+    def _apply_cull_info(self, info: np.ndarray):
+        if float(info[0]) >= 0.5:
+            slot = int(info[1])
+            if slot in self.kf_chain:
+                i = self.kf_chain.index(slot)
+                if 0 < i < len(self.kf_chain) - 1:
+                    nxt = self.kf_chain[i + 1]
+                    self.kf_preint_dev = self._weld_segment_fn(
+                        self.kf_preint_dev, jnp.int32(slot), jnp.int32(nxt)
+                    )
+                if i > 0:
+                    self.kf_chain.pop(i)
+        super()._apply_cull_info(info)
+
+    # staged initialization: (min trajectory seconds, priorG, priorA), the
+    # analogue of InitializeIMU(1e2,1e6) / VIBA1 InitializeIMU(1,1e5) /
+    # VIBA2 InitializeIMU(0,0) (localmapping.cpp:1231 call sites
+    # localmapping.cpp:330-345). Bias priors anneal to zero as orientation
+    # diversity accumulates and makes the accel bias observable — keeping
+    # them stiff forces the bias error into the gravity estimate.
+    _INIT_STAGES = ((2.0, 1e2, 1e6), (5.0, 1.0, 1e5), (15.0, 1e-2, 1e-2))
+
+    def _maybe_init_imu(self):
+        """InitializeIMU (localmapping.cpp:1231): once enough keyframe
+        baseline exists, solve gravity/biases/velocities against the fixed
+        visual poses; stereo holds scale at 1. Re-runs at longer spans
+        (stages) — gravity/bias observability improves with baseline, and
+        the early estimate's error is what limits inertial tracking."""
+        if self._init_stage >= len(self._INIT_STAGES):
+            return
+        min_kfs = 6
+        if len(self.kf_chain) < min_kfs:
+            return
+        ts = jax.device_get(
+            self.map.kf_timestamp[np.asarray(
+                [self.kf_chain[0], self.kf_chain[-1]]
+            )]
+        )
+        min_span, prior_g, prior_a = self._INIT_STAGES[self._init_stage]
+        if float(ts[1] - ts[0]) < min_span:
+            return
+        window = np.full((self._init_k,), -1, np.int32)
+        chain = self.kf_chain[-self._init_k:]
+        window[: len(chain)] = chain
+        Rwb, pwb, seg, valid, Rwg0 = self._gather_init_fn(
+            self.map, self.kf_preint_dev, jnp.asarray(window)
+        )
+        mono = float(self.cam.bf) <= 0
+        res = iinit.inertial_init(
+            Rwb, pwb, seg, valid,
+            prior_g=prior_g, prior_a=prior_a,
+            optimize_scale=mono and not self.imu_ready,
+            gravity_mag=self.gravity_mag, Rwg0=Rwg0,
+        )
+        got = jax.device_get({"cost": res.cost, "bg": res.bg})
+        costs = got["cost"]
+        if not np.isfinite(costs[-1]) or costs[-1] > 0.5 * costs[0]:
+            return  # didn't converge enough; retry at the next keyframe
+        self.bg_dev = res.bg
+        self.ba_dev = res.ba
+        g0 = jnp.asarray([0.0, 0.0, -self.gravity_mag], jnp.float32)
+        self.g_w_dev = res.Rwg @ g0
+        last = len(chain) - 1
+        self.kf_vel_dev, self.vel_w_dev = self._apply_init_fn(
+            self.kf_vel_dev, jnp.asarray(window), res.vel,
+            jnp.int32(chain[last]),
+        )
+        # reset the running segment's linearization point to the new biases
+        self._accum = self._accum._replace(bias_gyro=res.bg, bias_acc=res.ba)
+        self.imu_ready = True
+        self._init_stage += 1
+
+    def _local_ba(self):
+        if not self.imu_ready:
+            return super()._local_ba()
+        Wv = self.cfg.ba.inertial_window
+        if len(self.kf_chain) < 2:
+            return
+        window = np.full((Wv,), -1, np.int32)
+        chain = self.kf_chain[-Wv:]
+        window[: len(chain)] = chain
+        fixed = np.zeros((Wv,), bool)
+        fixed[0] = True  # oldest window KF anchors gauge
+        fixed[len(chain):] = True
+        (self.map, self.kf_vel_dev, self.bg_dev, self.ba_dev, dR,
+         dt) = self._vi_ba_fn(
+            self.map, self.kf_preint_dev, self.kf_vel_dev,
+            jnp.asarray(window), jnp.asarray(fixed),
+            jnp.int32(len(chain) - 1),
+            self.bg_dev, self.ba_dev, self.g_w_dev, jnp.int32(self.ref_kf),
+        )
+        delta = SE3(dR, dt)
+        self.T_dev = self.T_dev.compose(delta)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+
+    def _handle_failure(self, job: FrameJob, st: TrackStats,
+                        T_np: np.ndarray) -> TrackStats:
+        """IMU branch of the recovery ladder (tracking.cpp:1816-1835):
+        with a live inertial state the predicted pose IS the optimized pose
+        (zero visual inliers leave only the inertial residual, which is
+        zero at the prediction), so the grace window is bridged by dead
+        reckoning instead of freezing the pose chain."""
+        if not self.imu_ready or job.bundle is None:
+            return super()._handle_failure(job, st, T_np)
+        if self.state == OK:
+            self.state = RECENTLY_LOST
+            self._lost_since = job.timestamp
+        within = (
+            job.timestamp - self._lost_since
+            <= self.cfg.tracker.recently_lost_sec
+        )
+        if within:
+            # accept the dead-reckoned pose; the chain keeps advancing on
+            # the optimistic device-side update already made at dispatch
+            self.T_np = T_np
+            self._record(job, T_np, self.ref_pose_np, self.ref_kf,
+                         RECENTLY_LOST)
+            st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
+            self.stats.append(st)
+            return st
+        self.state = LOST
+        return super()._handle_failure(job, st, T_np)
