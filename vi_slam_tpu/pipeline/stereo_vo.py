@@ -525,6 +525,11 @@ class StereoVO:
             )
         job = FrameJob(self.frame_id, timestamp, self.ref_kf, bundle,
                        feats, uright, depth, fused=True)
+        # start the packed-vector D2H NOW: the transfer is enqueued behind
+        # the frame's compute, so by the time _finalize asks for it the
+        # bytes are already on the host (the blocking device_get otherwise
+        # costs a full tunnel RTT per frame — the r2 host_pull bottleneck)
+        bundle.packed.copy_to_host_async()
         # optimistic device pose chain: assume tracking succeeded; the
         # finalize step repairs the chain on failure/relocalization
         self.T_dev = SE3(bundle.T_R, bundle.T_t)
@@ -621,6 +626,12 @@ class StereoVO:
         # grace window, after which the state degrades to LOST (still
         # relocalizable, but the motion model is abandoned)
         min_ok = max(self.cfg.tracker.min_matches_motion // 2, 10)
+        if self.state != OK:
+            # while lost, the wide-radius search runs from a stale frozen
+            # pose; a weakly-constrained fix can clear the lenient gate
+            # with a badly biased pose. The reference demands >50 inliers
+            # right after a loss/relocalization (tracking.cpp:2872).
+            min_ok = max(min_ok, 50)
         failed = n_in < min_ok
         if self.state in (OK, RECENTLY_LOST) and failed or self.state == LOST:
             return self._handle_failure(job, st, T_np)
@@ -683,6 +694,28 @@ class StereoVO:
         (tracking.cpp:1816-1835 IMU branch)."""
         n_rel = self._try_relocalize(job.feats, job.uright)
         if n_rel > 0:
+            # refine against the local map from the relocalized pose (the
+            # reference's next-frame TrackLocalMap pass, tracking.cpp:2791;
+            # the raw single-KF PnP fix is accurate but the full local-map
+            # GN tightens it before it anchors the resumed pose chain)
+            bundle = self._track_fn(
+                self.map, jnp.int32(max(self.ref_kf, 0)), job.feats,
+                job.uright, job.depth, self.T_dev, SE3.identity(),
+            )
+            p = jax.device_get(bundle.packed)
+            n_ref = int(p[_PK_NIN])
+            if n_ref >= n_rel:
+                n_rel = n_ref
+                self.T_dev = SE3(bundle.T_R, bundle.T_t)
+                self.vel_dev = SE3.identity()
+                self._last_good = (bundle.T_R, bundle.T_t)
+                T_np = np.eye(4)
+                T_np[:3, :3] = p[0:9].reshape(3, 3)
+                T_np[:3, 3] = p[9:12]
+                self.T_np = T_np
+                self.ref_pose_np = np.eye(4)
+                self.ref_pose_np[:3, :3] = p[12:21].reshape(3, 3)
+                self.ref_pose_np[:3, 3] = p[21:24]
             self.state = OK
             st.n_inliers = n_rel
             self._record(job, self.T_np, self.ref_pose_np, self.ref_kf, OK)
@@ -803,6 +836,7 @@ class StereoVO:
             self.map, jnp.int32(self.ref_kf), jnp.int32(min_obs),
             jnp.int32(lo), jnp.int32(hi),
         )
+        info.copy_to_host_async()
         self._pending_culls.append(info)
 
     def _apply_cull_info(self, info: np.ndarray):

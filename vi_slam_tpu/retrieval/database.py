@@ -42,7 +42,8 @@ def allocate(max_keyframes: int, n_words: int) -> DBState:
 @jax.jit
 def add(db: DBState, slot: jnp.ndarray, bow_vec: jnp.ndarray) -> DBState:
     return DBState(
-        bow=db.bow.at[slot].set(bow_vec), valid=db.valid.at[slot].set(True)
+        bow=db.bow.at[slot].set(bow_vec.astype(db.bow.dtype)),
+        valid=db.valid.at[slot].set(True),
     )
 
 
