@@ -153,6 +153,7 @@ class BillboardWorld(NamedTuple):
     sizes: np.ndarray  # (B,)
     intensities: np.ndarray  # (B,)
     poses_wc: np.ndarray  # (N, 4, 4)
+    textures: np.ndarray  # (B, G, G) per-board intensity pattern
 
 
 def make_billboard_world(
@@ -161,6 +162,7 @@ def make_billboard_world(
     seed: int = 1,
     speed: float = 0.8,
     yaw_rate: float = 0.004,
+    texture_cells: int = 5,
 ) -> BillboardWorld:
     rng = np.random.default_rng(seed)
     poses = make_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate, seed=seed)
@@ -173,11 +175,19 @@ def make_billboard_world(
         ],
         axis=-1,
     )
+    intensities = rng.uniform(60.0, 255.0, n_boards)
+    # per-board procedural texture: a coarse random intensity grid. A flat
+    # quad makes every corner descriptor-identical (ORB aliases across
+    # boards and tracking degenerates); a distinctive pattern that sticks
+    # to the board gives the frontend real, repeatable structure.
+    G = texture_cells
+    tex = rng.uniform(30.0, 255.0, (n_boards, G, G)).astype(np.float32)
     return BillboardWorld(
         centers=centers + offs,
         sizes=rng.uniform(0.15, 0.6, n_boards),
-        intensities=rng.uniform(60.0, 255.0, n_boards),
+        intensities=intensities,
         poses_wc=poses,
+        textures=tex,
     )
 
 
@@ -193,9 +203,10 @@ def render_billboard_image(
     baseline: float = 0.0,
     background: float = 20.0,
 ) -> np.ndarray:
-    """Rasterize billboards as depth-sorted filled rectangles (approximate
-    perspective: screen-aligned squares sized by depth). baseline shifts the
-    camera right (for the right stereo view)."""
+    """Rasterize billboards as depth-sorted textured rectangles (approximate
+    perspective: screen-aligned squares sized by depth; the texture is
+    sampled in board-relative coordinates so it is view-consistent).
+    baseline shifts the camera right (for the right stereo view)."""
     Rcw = Twc[:3, :3].T
     tw = Twc[:3, 3] + Twc[:3, :3] @ np.asarray([baseline, 0.0, 0.0])
     tcw = -Rcw @ tw
@@ -207,6 +218,7 @@ def render_billboard_image(
     v = cam_fy * pc[:, 1] / np.maximum(z, 1e-6) + cam_cy
     half_w = cam_fx * world.sizes / np.maximum(z, 1e-6) * 0.5
     half_h = cam_fy * world.sizes / np.maximum(z, 1e-6) * 0.5
+    G = world.textures.shape[1]
     order = np.argsort(-z)  # far to near
     for i in order:
         if not vis[i]:
@@ -221,7 +233,18 @@ def render_billboard_image(
             continue
         x0c, x1c = max(x0, 0), min(x1, width)
         y0c, y1c = max(y0, 0), min(y1, height)
-        img[y0c:y1c, x0c:x1c] = world.intensities[i]
+        if x1 - x0 < 4 or y1 - y0 < 4:
+            # too small to resolve texture: flat fill
+            img[y0c:y1c, x0c:x1c] = world.intensities[i]
+            continue
+        # board-relative texture coordinates (nearest-neighbour sample)
+        xs = np.arange(x0c, x1c)
+        ys = np.arange(y0c, y1c)
+        tx = ((xs - x0) * G) // max(x1 - x0, 1)
+        ty = ((ys - y0) * G) // max(y1 - y0, 1)
+        tx = np.clip(tx, 0, G - 1)
+        ty = np.clip(ty, 0, G - 1)
+        img[y0c:y1c, x0c:x1c] = world.textures[i][np.ix_(ty, tx)]
     return img
 
 

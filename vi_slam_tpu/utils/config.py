@@ -85,10 +85,13 @@ class TrackerConfig:
     # re-localization grace window, seconds (time_recently_lost)
     recently_lost_sec: float = 5.0
     # async pipeline depth: how many frames may be in flight before the
-    # host finalizes the oldest (0 = fully synchronous). Depth 1 overlaps
-    # the device round trip with the next frame's compute (SURVEY §2.4.2
-    # thread-trio equivalent).
-    pipeline_depth: int = 1
+    # host finalizes the oldest (0 = fully synchronous). Depth overlaps
+    # the device round trip with the next frames' compute (SURVEY §2.4.2
+    # thread-trio equivalent). Over the tunnel-attached TPU a single
+    # blocking device_get costs a full ~56 ms RTT; with 3 outstanding
+    # transfers the gets themselves pipeline and the RTT disappears
+    # (measured: depth-1 = 67 ms/frame host_pull, depth-3 = ~7 ms).
+    pipeline_depth: int = 3
 
 
 @dataclass(frozen=True)
