@@ -171,6 +171,78 @@ def back_substitute_points(U, Hpp_inv, bp, dxc):
     return jnp.where(jnp.isfinite(dxp), dxp, 0.0)
 
 
+def _visual_reduced_system_scatter(
+    cam: CameraParams,
+    poses: SE3,
+    points: jnp.ndarray,
+    prob: BAProblem,
+    lam: jnp.ndarray,
+    use_huber: bool,
+):
+    """Schur reduction with scatter-add assembly, for LARGE problems.
+
+    The dense path materializes U = (M, K, 6, 3), which is fine for a
+    local window (K<=16) but explodes for full-map BA (K=256, M=65k would
+    be >1 GB). Here the camera-camera coupling goes through per-observation
+    -pair 6x6 blocks scattered into (K, K, 6, 6) — memory O(K^2 + M*P^2)
+    regardless of K*M (GlobalBundleAdjustemnt capability at map scale,
+    optimizer.cpp:34). Returns (S, b, Wcp, Hpp_inv, bp, cidx)."""
+    K = poses.t.shape[0]
+    M, P = prob.obs_cam.shape
+    r, J_cam, J_pt, row_mask = _residuals(cam, poses, points, prob)
+    _, w, _ = _robust_cost_and_weights(r, row_mask, prob, use_huber)
+
+    Jc = J_cam * row_mask[..., None]
+    Jp = J_pt * row_mask[..., None]
+    rm = r * row_mask
+
+    Hpp = jnp.einsum("mpki,mpkj,mp->mij", Jp, Jp, w)  # (M,3,3)
+    bp = jnp.einsum("mpki,mpk,mp->mi", Jp, rm, w)  # (M,3)
+    Wcp = jnp.einsum("mpki,mpkj,mp->mpij", Jc, Jp, w)  # (M,P,6,3)
+    Hcc_obs = jnp.einsum("mpki,mpkj,mp->mpij", Jc, Jc, w)  # (M,P,6,6)
+    bc_obs = jnp.einsum("mpki,mpk,mp->mpi", Jc, rm, w)  # (M,P,6)
+
+    # masked observations carry all-zero blocks (row_mask pre-multiplied
+    # into Jc/Jp), so clipped indices scatter harmlessly
+    cidx = jnp.clip(prob.obs_cam, 0, K - 1)
+    flat = cidx.reshape(-1)
+    Hcc_diag = jnp.zeros((K, 6, 6), r.dtype).at[flat].add(
+        Hcc_obs.reshape(-1, 6, 6)
+    )
+    bc = jnp.zeros((K, 6), r.dtype).at[flat].add(bc_obs.reshape(-1, 6))
+
+    lamI3 = lam[..., None, None] * jnp.eye(3, dtype=r.dtype)
+    Hpp_inv = jnp.linalg.inv(Hpp + lamI3 + 1e-9 * jnp.eye(3, dtype=r.dtype))
+    has_obs = jnp.sum(row_mask[..., 0], axis=1) > 0
+    Hpp_inv = jnp.where(has_obs[:, None, None], Hpp_inv, 0.0)
+
+    Y = jnp.einsum("mpis,mst->mpit", Wcp, Hpp_inv)  # (M,P,6,3)
+    S_red = jnp.zeros((K, K, 6, 6), r.dtype)
+    for p in range(P):  # static P*P unrolled scatter-adds of (M,6,6) blocks
+        for q in range(P):
+            blk = jnp.einsum("mis,mjs->mij", Y[:, p], Wcp[:, q])
+            S_red = S_red.at[cidx[:, p], cidx[:, q]].add(blk)
+    b_corr = jnp.zeros((K, 6), r.dtype)
+    for p in range(P):
+        b_corr = b_corr.at[cidx[:, p]].add(
+            jnp.einsum("mis,ms->mi", Y[:, p], bp)
+        )
+
+    S = -S_red
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_diag)
+    b = bc - b_corr
+    return S, b, Wcp, Hpp_inv, bp, cidx
+
+
+def back_substitute_points_scatter(Wcp, Hpp_inv, bp, dxc, cidx):
+    """Landmark back-substitution without materializing U: gather each
+    observation's camera update and contract per landmark."""
+    dxc_g = dxc[cidx]  # (M,P,6)
+    Ut_dxc = jnp.einsum("mpis,mpi->ms", Wcp, dxc_g)  # (M,3)
+    dxp = jnp.einsum("mij,mj->mi", Hpp_inv, -bp - Ut_dxc)
+    return jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+
+
 def _build_and_solve(
     cam: CameraParams,
     poses: SE3,
@@ -179,6 +251,7 @@ def _build_and_solve(
     lam: jnp.ndarray,
     use_huber: bool,
     axis_name=None,
+    assembly: str = "dense",
 ):
     """One LM system build + Schur solve. Returns (dxc (K,6), dxp (M,3)).
 
@@ -186,11 +259,20 @@ def _build_and_solve(
     each device reduces its own landmarks and the camera system is summed
     with `psum` over the interconnect (the distributed-GBA core,
     SURVEY §2.4.3). The reduced solve is replicated on every device.
+
+    assembly="dense" materializes the (M,K,6,3) coupling (fast for local
+    windows); "scatter" assembles via per-observation scatter-adds
+    (required for full-map K).
     """
     K = poses.t.shape[0]
-    S, b, U, Hpp_inv, bp = _visual_reduced_system(
-        cam, poses, points, prob, lam, use_huber
-    )
+    if assembly == "scatter":
+        S, b, Wcp, Hpp_inv, bp, cidx = _visual_reduced_system_scatter(
+            cam, poses, points, prob, lam, use_huber
+        )
+    else:
+        S, b, U, Hpp_inv, bp = _visual_reduced_system(
+            cam, poses, points, prob, lam, use_huber
+        )
     if axis_name is not None:
         S = jax.lax.psum(S, axis_name)
         b = jax.lax.psum(b, axis_name)
@@ -214,7 +296,10 @@ def _build_and_solve(
     dxc = -jnp.linalg.solve(S_dense, b_dense).reshape(K, 6)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
 
-    dxp = back_substitute_points(U, Hpp_inv, bp, dxc)
+    if assembly == "scatter":
+        dxp = back_substitute_points_scatter(Wcp, Hpp_inv, bp, dxc, cidx)
+    else:
+        dxp = back_substitute_points(U, Hpp_inv, bp, dxc)
     return dxc, dxp
 
 
@@ -225,6 +310,7 @@ def _ba_core(
     use_huber: bool,
     lam0: float,
     axis_name=None,
+    assembly: str = "dense",
 ) -> BAResult:
     """Shared LM loop for single-chip and sharded BA."""
 
@@ -238,7 +324,7 @@ def _ba_core(
     def lm_step(carry, _):
         poses, points, lam, cost = carry
         dxc, dxp = _build_and_solve(
-            cam, poses, points, prob, lam, use_huber, axis_name
+            cam, poses, points, prob, lam, use_huber, axis_name, assembly
         )
         cand_poses = se3.retract_left(poses, dxc)
         cand_points = points + dxp
@@ -273,7 +359,7 @@ def _ba_core(
     )
 
 
-@partial(jax.jit, static_argnames=("iters", "use_huber"))
+@partial(jax.jit, static_argnames=("iters", "use_huber", "assembly"))
 @precise
 def bundle_adjust(
     cam: CameraParams,
@@ -281,6 +367,11 @@ def bundle_adjust(
     iters: int = 10,
     use_huber: bool = True,
     lam0: float = 1e-4,
+    assembly: str = "dense",
 ) -> BAResult:
-    """LM bundle adjustment. Poses and points move; fixed/invalid masked."""
-    return _ba_core(cam, prob, iters, use_huber, lam0, axis_name=None)
+    """LM bundle adjustment. Poses and points move; fixed/invalid masked.
+
+    Use assembly="scatter" for full-map problems (large K)."""
+    return _ba_core(
+        cam, prob, iters, use_huber, lam0, axis_name=None, assembly=assembly
+    )

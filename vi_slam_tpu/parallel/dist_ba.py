@@ -64,11 +64,13 @@ def dist_bundle_adjust(
     iters: int = 10,
     use_huber: bool = True,
     lam0: float = 1e-4,
+    assembly: str = "dense",
 ) -> BAResult:
     """Run global BA with the landmark axis sharded over `mesh`.
 
     The landmark dimension of `prob` must be divisible by the mesh size
-    (pad with masked landmarks first).
+    (pad with masked landmarks first). assembly="scatter" keeps per-device
+    memory O(K^2 + M/D * P^2) for full-map camera counts.
     """
     axis = mesh.axis_names[0]
     cam_spec = jax.tree.map(lambda _: P(), cam)
@@ -81,6 +83,8 @@ def dist_bundle_adjust(
     )
     @precise
     def run(c: CameraParams, p: BAProblem) -> BAResult:
-        return _ba_core(c, p, iters, use_huber, lam0, axis_name=axis)
+        return _ba_core(
+            c, p, iters, use_huber, lam0, axis_name=axis, assembly=assembly
+        )
 
     return jax.jit(run)(cam, prob)

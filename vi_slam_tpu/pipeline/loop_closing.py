@@ -31,10 +31,7 @@ from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.lie.sim3 import Sim3
 from vi_slam_tpu.loop.sim3_solver import sim3_ransac
 from vi_slam_tpu.ops.hamming import hamming_matrix
-from vi_slam_tpu.optim.pose_graph import (
-    build_essential_edges,
-    optimize_pose_graph,
-)
+from vi_slam_tpu.optim.pose_graph import optimize_pose_graph
 from vi_slam_tpu.optim.sim3_opt import optimize_sim3
 from vi_slam_tpu.retrieval import database as kfdb
 from vi_slam_tpu.retrieval import vocabulary as voc
@@ -238,17 +235,6 @@ def _unpack(desc):
     return unpack_bits(desc)
 
 
-@jax.jit
-def _covis_matrix(state: MapState) -> jnp.ndarray:
-    """Full (K, K) covisibility weights from the observation incidence."""
-    from vi_slam_tpu.slam_map.state import covisibility_row
-
-    K = state.kf_R.shape[0]
-    return jax.vmap(lambda k: covisibility_row(state, k))(
-        jnp.arange(K, dtype=jnp.int32)
-    )
-
-
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
@@ -264,7 +250,13 @@ class LoopCloserStats:
 
 class LoopCloser:
     """Per-keyframe loop detection + correction (LoopClosing thread
-    equivalent; runs synchronously at KF rate in the host pipeline)."""
+    equivalent; runs synchronously at KF rate in the host pipeline).
+
+    The covisibility graph / spanning tree lives in the native host
+    runtime (`native.CovisGraph`, matching the reference's in-KeyFrame
+    graph bookkeeping, keyframe.h:79-93) fed with each keyframe's
+    map-point row — the per-query (K, K) device covisibility reduction
+    and its blocking pull are gone."""
 
     def __init__(
         self,
@@ -275,7 +267,10 @@ class LoopCloser:
         min_inliers: int = 20,
         max_pairs: int = 256,
         min_gap_kfs: int = 10,
+        run_gba: bool = True,
     ):
+        from vi_slam_tpu.native import CovisGraph
+
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
@@ -283,9 +278,11 @@ class LoopCloser:
         self.min_inliers = min_inliers
         self.max_pairs = max_pairs
         self.min_gap_kfs = min_gap_kfs
+        self.run_gba = run_gba
         self.db = kfdb.KeyFrameDatabase(
             cfg.map.max_keyframes, vocab.n_words, n_cand=16
         )
+        self.covis = CovisGraph(cfg.map.max_keyframes)
         self.loop_edges: List[Tuple[int, int]] = []
         self.last_closed_kf = -(10**9)
         self.stats = LoopCloserStats()
@@ -304,9 +301,29 @@ class LoopCloser:
             self.vocab.n_words,
         )
 
-    def add_keyframe(self, state: MapState, slot: int) -> None:
-        """Register a KF in the place-recognition database."""
+    def add_bow(self, state: MapState, slot: int) -> None:
+        """Register a KF in the place-recognition database (device side)."""
         self.db.add(slot, self._bow_of(state, slot))
+
+    def register_covis(self, slot: int, mp_row: np.ndarray) -> None:
+        """Feed a keyframe's map-point row into the native covisibility
+        graph (KeyFrame::UpdateConnections). The pipeline passes a row it
+        pulled asynchronously; tests pass it directly."""
+        self.covis.add_keyframe(slot, np.asarray(mp_row, np.int64))
+
+    def add_keyframe(self, state: MapState, slot: int,
+                     mp_row: Optional[np.ndarray] = None) -> None:
+        """BoW + covisibility registration in one call (synchronous pull
+        of the map-point row when the caller has none in flight)."""
+        self.add_bow(state, slot)
+        if mp_row is None:
+            mp_row = np.asarray(state.kf_mp[slot])
+        self.register_covis(slot, mp_row)
+
+    def remove_keyframe(self, slot: int) -> None:
+        """Culled-KF cleanup: drop from the BoW database and the graph."""
+        self.db.remove(slot)
+        self.covis.remove_keyframe(slot)
 
     def process(
         self, state: MapState, cur: int, n_kf: int
@@ -314,22 +331,23 @@ class LoopCloser:
         """Detect and (if verified) close a loop for keyframe `cur`.
         Returns (possibly corrected map state, closed?)."""
         self.stats.n_queries += 1
-        covis = np.asarray(_covis_matrix(state))
-        covis_cur = covis[cur]
-        exclude = covis_cur >= 1.0  # any shared observation
-        exclude[cur] = True
+        if cur - self.last_closed_kf < self.min_gap_kfs:
+            return state, False
+        K = state.kf_R.shape[0]
+        n_ids, n_w = self.covis.best_neighbors(cur, K)
+        exclude = np.zeros((K,), bool)
+        exclude[n_ids] = True  # any shared observation
         # recent KFs can't be loop candidates
         lo = max(0, cur - self.min_gap_kfs)
         exclude[lo : cur + 1] = True
-        if cur - self.last_closed_kf < self.min_gap_kfs:
-            return state, False
+        exclude[cur] = True
 
         # min score = worst BoW similarity among strongly covisible KFs
         bow_cur = self._bow_of(state, cur)
-        neigh = np.flatnonzero(covis_cur >= self.cfg.map.covis_weight_min)
-        if neigh.size:
+        strong = n_ids[n_w >= self.cfg.map.covis_weight_min]
+        if strong.size:
             scores_all = np.asarray(voc.score_l1(bow_cur, self.db.db.bow))
-            min_score = float(max(scores_all[neigh].min(), 1e-3))
+            min_score = float(max(scores_all[strong].min(), 1e-3))
         else:
             min_score = 0.015
         cands = self.db.detect_loop_candidates(
@@ -345,7 +363,7 @@ class LoopCloser:
             if not ok:
                 continue
             self.stats.n_verified += 1
-            state = self._correct(state, covis, cur, cand, S_cl, fused)
+            state = self._correct(state, cur, cand, S_cl, fused)
             self.loop_edges.append((cur, cand))
             self.last_closed_kf = cur
             self.stats.n_loops_closed += 1
@@ -388,7 +406,6 @@ class LoopCloser:
     def _correct(
         self,
         state: MapState,
-        covis: np.ndarray,
         cur: int,
         cand: int,
         S_cl: Sim3,
@@ -396,7 +413,11 @@ class LoopCloser:
     ) -> MapState:
         """CorrectLoop (loopclosing.cpp:805): propagate the corrected Sim3
         through cur's covisible window, move their points, fuse seam
-        duplicates, then optimize the essential graph."""
+        duplicates, optimize the essential graph, then run whole-map BA
+        (RunGlobalBundleAdjustment, loopclosing.cpp:1895 — here inline:
+        the map cannot advance concurrently, so the reference's
+        spanning-tree propagation to KFs created during the BA thread is
+        unnecessary by construction)."""
         K = state.kf_R.shape[0]
         kf_R = np.asarray(state.kf_R)
         kf_t = np.asarray(state.kf_t)
@@ -414,7 +435,9 @@ class LoopCloser:
         )
 
         # window: cur + its covisible neighbors
-        window = covis[cur] >= self.cfg.map.covis_weight_min
+        n_ids, n_w = self.covis.best_neighbors(cur, K)
+        window = np.zeros((K,), bool)
+        window[n_ids[n_w >= self.cfg.map.covis_weight_min]] = True
         window[cur] = True
         window &= kf_valid
 
@@ -444,19 +467,24 @@ class LoopCloser:
         # come from the PRE-correction poses (locally consistent odometry —
         # the reference's NonCorrectedSim3 map, loopclosing.cpp:843-905);
         # the loop edge carries the verified corrected measurement S_cl.
-        covis_j = _covis_matrix(state)
-        parent = self._spanning_parents(np.asarray(covis_j), kf_valid)
-        prev_loops = np.asarray(self.loop_edges, np.int32).reshape(-1, 2)
-        edges, evalid, ew = build_essential_edges(
-            covis_j,
-            jnp.asarray(parent),
-            jnp.asarray(prev_loops),
-            jnp.asarray(kf_valid),
-            min_weight=self.cfg.map.essential_weight_min,
-        )
-        edges_np = np.array(edges)
-        evalid_np = np.array(evalid)
-        ew_np = np.array(ew)
+        # Edge set = spanning tree + covisibility >= threshold from the
+        # native graph + previously closed loop edges (optimizer.cpp:2122).
+        max_edges = 4096
+        pairs = set()
+        for a, b in self.covis.essential_edges(
+            self.cfg.map.essential_weight_min, max_edges
+        ).tolist():
+            if kf_valid[a] and kf_valid[b]:
+                pairs.add((a, b))
+        for a, b in self.loop_edges:
+            pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)[: max_edges - 1]
+        edges_np = np.zeros((max_edges, 2), np.int32)
+        evalid_np = np.zeros((max_edges,), bool)
+        ew_np = np.ones((max_edges,), np.float32)
+        if pairs:
+            edges_np[: len(pairs)] = np.asarray(pairs, np.int32)
+            evalid_np[: len(pairs)] = True
         # structural measurements from old (pre-correction) poses
         ii = edges_np[:, 0]
         jj = edges_np[:, 1]
@@ -499,22 +527,20 @@ class LoopCloser:
             res.poses.s,
             jnp.asarray(kf_valid),
         )
-        return state
 
-    @staticmethod
-    def _spanning_parents(covis: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
-        """Spanning-tree parents: strongest covisible earlier KF
-        (KeyFrame::ChangeParent semantics approximated from the final
-        covisibility graph)."""
-        K = covis.shape[0]
-        parent = np.full((K,), -1, np.int32)
-        for k in range(1, K):
-            if not kf_valid[k]:
-                continue
-            w = covis[k, :k].copy()
-            w[~kf_valid[:k]] = 0
-            if w.max() > 0:
-                parent[k] = int(np.argmax(w))
-            else:
-                parent[k] = k - 1
-        return parent
+        # whole-map bundle adjustment (RunGlobalBundleAdjustment,
+        # loopclosing.cpp:1895-2060) — dispatch-only; scatter assembly
+        # keeps memory bounded at full-map camera counts
+        if self.run_gba:
+            from vi_slam_tpu.optim.local_ba import bundle_adjust
+            from vi_slam_tpu.pipeline import steps
+
+            prob = steps.gather_global_ba_problem(self.cam, state)
+            gres = bundle_adjust(
+                self.cam, prob, iters=self.cfg.ba.gba_iters,
+                assembly="scatter",
+            )
+            state = steps.scatter_global_ba_result(
+                state, gres.poses, gres.points
+            )
+        return state

@@ -273,6 +273,57 @@ def scatter_ba_result(
     return state._replace(kf_R=new_R, kf_t=new_t, mp_pos=new_pos)
 
 
+@jax.jit
+def gather_global_ba_problem(cam: CameraParams, state: MapState,
+                             scale_factor: float = 1.2) -> BAProblem:
+    """Whole-map BAProblem: every valid keyframe is a camera (global slot
+    index == camera index), every valid point a landmark, observations
+    straight from the incidence arrays (GlobalBundleAdjustemnt setup,
+    optimizer.cpp:34-380). Slot 0 (the origin keyframe) is fixed."""
+    K, N = state.kf_mp.shape
+    M, P = state.mp_obs_kf.shape
+    poses = SE3(state.kf_R, state.kf_t)
+    fixed = ~state.kf_valid
+    fixed = fixed.at[0].set(True)
+
+    obs_kf = state.mp_obs_kf
+    obs_idx = state.mp_obs_idx
+    okf_safe = jnp.clip(obs_kf, 0, K - 1)
+    oidx_safe = jnp.clip(obs_idx, 0, N - 1)
+    obs_has = (obs_kf >= 0) & state.kf_valid[okf_safe]
+
+    uv = state.kf_xy[okf_safe, oidx_safe]
+    ur = state.kf_uright[okf_safe, oidx_safe]
+    lvl = state.kf_level[okf_safe, oidx_safe]
+    stereo = ur > 0
+    uvr = jnp.concatenate([uv, jnp.where(stereo, ur, 0.0)[..., None]], axis=-1)
+    sigma2 = scale_factor ** (2.0 * lvl.astype(jnp.float32))
+
+    return BAProblem(
+        poses=poses,
+        fixed=fixed,
+        points=state.mp_pos,
+        point_valid=state.mp_valid,
+        obs_cam=jnp.where(obs_has, okf_safe, 0).astype(jnp.int32),
+        obs_uvr=uvr,
+        obs_stereo=stereo,
+        obs_sigma2=sigma2,
+        obs_mask=obs_has & state.mp_valid[:, None],
+    )
+
+
+@jax.jit
+def scatter_global_ba_result(
+    state: MapState, poses: SE3, points: jnp.ndarray
+) -> MapState:
+    """Write whole-map BA results back (valid, non-fixed rows only)."""
+    upd_kf = state.kf_valid.at[0].set(False)
+    new_R = jnp.where(upd_kf[:, None, None], poses.R, state.kf_R)
+    new_t = jnp.where(upd_kf[:, None], poses.t, state.kf_t)
+    new_pos = jnp.where(state.mp_valid[:, None], points, state.mp_pos)
+    return state._replace(kf_R=new_R, kf_t=new_t, mp_pos=new_pos)
+
+
 class TriangulationCandidates(NamedTuple):
     """Output of match_and_triangulate: fixed-capacity new-point batch."""
 

@@ -205,6 +205,12 @@ class StereoVO:
         self.pipeline_depth = cfg.tracker.pipeline_depth
         self._inflight: deque = deque()
         self._pending_culls: List[jnp.ndarray] = []
+        # loop-closing queue: (slot, in-flight kf_mp row). Each new KF's
+        # map-point row starts its D2H at KF rate and the LoopClosing step
+        # for that KF runs one KF later when the row has landed — the
+        # async equivalent of the reference's LoopClosing thread queue
+        # (loopclosing.cpp:255 InsertKeyFrame)
+        self._covis_queue: deque = deque()
 
         # ActivateLocalizationMode equivalent (system.h:92-255): tracking
         # without mapping
@@ -552,6 +558,8 @@ class StereoVO:
             for info in jax.device_get(self._pending_culls):
                 self._apply_cull_info(info)
             self._pending_culls = []
+        if self.loop_closer is not None:
+            self._drain_loop_queue()
         return st
 
     def _upload_images(self, img_left, img_right) -> jnp.ndarray:
@@ -849,7 +857,7 @@ class StereoVO:
         T_rel[:3, 3] = np.asarray(info[12:15], np.float64)
         self.culled_parent[slot] = (parent, T_rel)
         if self.loop_closer is not None:
-            self.loop_closer.db.remove(slot)
+            self.loop_closer.remove_keyframe(slot)
 
     def process_rgbd(self, img, depth_img, timestamp: float) -> TrackStats:
         """RGBD ingest (GrabImageRGBD semantics, tracking.cpp RGBD branch):
@@ -918,27 +926,57 @@ class StereoVO:
         return n_in
 
     def _loop_closing(self):
-        """LoopClosing::Run step for the newest keyframe (thread boundary
-        #2/#3 in SURVEY §3.2-3.3, run synchronously at KF rate)."""
+        """LoopClosing::Run step (thread boundary #2/#3 in SURVEY
+        §3.2-3.3). The newest keyframe's BoW is registered now (device
+        dispatch); its covisibility row starts an async D2H and the
+        detection/correction for it runs at the NEXT keyframe, when the
+        row has landed — one-KF lag, exactly like the reference's queued
+        LoopClosing thread."""
         lc = self.loop_closer
         slot = self.ref_kf
-        lc.add_keyframe(self.map, slot)
-        self.map, closed = lc.process(self.map, slot, self.n_kf)
-        if closed:
-            # current pose = corrected pose of the KF just created from
-            # this frame; refresh device + host mirrors
-            R = self.map.kf_R[slot]
-            t = self.map.kf_t[slot]
-            self.T_dev = SE3(R, t)
-            self._last_good = (R, t)
-            got = jax.device_get({"R": R, "t": t})
-            T_np = np.eye(4)
-            T_np[:3, :3] = got["R"]
-            T_np[:3, 3] = got["t"]
-            self.T_np = T_np
-            self.ref_pose_np = T_np.copy()
-            # velocity is stale across a correction; reset motion model
-            self.vel_dev = SE3.identity()
+        lc.add_bow(self.map, slot)
+        row = self.map.kf_mp[slot]
+        row.copy_to_host_async()
+        self._covis_queue.append((slot, row))
+        if len(self._covis_queue) > 1:
+            self._drain_loop_queue(limit=len(self._covis_queue) - 1)
+
+    def _drain_loop_queue(self, limit: Optional[int] = None):
+        lc = self.loop_closer
+        n = 0
+        while self._covis_queue and (limit is None or n < limit):
+            slot, row = self._covis_queue.popleft()
+            n += 1
+            if slot in self.culled_parent:  # culled while queued
+                continue
+            lc.register_covis(slot, np.asarray(row))
+            self.map, closed = lc.process(self.map, slot, self.n_kf)
+            if closed:
+                self._after_loop_correction()
+
+    def _after_loop_correction(self):
+        """The correction rewrote every keyframe pose (essential graph +
+        global BA); re-anchor the live pose chain on the corrected
+        reference KF and drop the stale motion model."""
+        ref = max(self.ref_kf, 0)
+        R = self.map.kf_R[ref]
+        t = self.map.kf_t[ref]
+        got = jax.device_get({"R": R, "t": t})
+        T_ref = np.eye(4)
+        T_ref[:3, :3] = got["R"]
+        T_ref[:3, 3] = got["t"]
+        # current frame pose = its recorded pose relative to ref, re-based
+        # on the corrected ref pose
+        T_rel = self.T_np @ np.linalg.inv(self.ref_pose_np)
+        self.T_np = T_rel @ T_ref
+        self.ref_pose_np = T_ref.copy()
+        self.T_dev = SE3(
+            jnp.asarray(self.T_np[:3, :3], self.map.kf_R.dtype),
+            jnp.asarray(self.T_np[:3, 3], self.map.kf_t.dtype),
+        )
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        # velocity is stale across a correction; reset motion model
+        self.vel_dev = SE3.identity()
 
     def _record(self, job: FrameJob, T_np, ref_pose_np, ref_kf, state):
         if ref_kf >= 0:
