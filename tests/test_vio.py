@@ -156,3 +156,79 @@ class TestPreintegrationCompose:
         np.testing.assert_allclose(comp.JRg, full.JRg, atol=2e-3)
         np.testing.assert_allclose(comp.JPa, full.JPa, atol=2e-3)
         assert float(jnp.max(jnp.abs(comp.C - full.C))) < 5e-8
+
+
+class TestVioBeatsVo:
+    """Sustained 30% feature dropout after warm-up: the inertial pipeline
+    must hold a tighter trajectory than pure visual odometry (the
+    reference's motivation for the IMU branches, tracking.cpp:1816-1835;
+    VERDICT done-criterion for the inertial story)."""
+
+    def test_vio_beats_vo_under_dropout(self, inertial_world):
+        drops = tuple(i for i in range(30, N_FRAMES) if i % 3 == 0)
+        _, states_v, ate_v = run_vio(inertial_world, drop_frames=drops,
+                                     inertial=False)
+        _, states_i, ate_i = run_vio(inertial_world, drop_frames=drops,
+                                     inertial=True)
+        lost_v = sum(s != "OK" for s in states_v)
+        lost_i = sum(s != "OK" for s in states_i)
+        assert lost_i <= lost_v
+        assert ate_i["rmse"] < ate_v["rmse"]
+
+
+class TestPipelinedImagePath:
+    """The fused _frame_vio program: billboard images rendered along the
+    inertial-world trajectory, processed through process_stereo_inertial.
+    After initialization the path must enter the pipelined regime and
+    keep tracking."""
+
+    def test_pipelined_vio_tracks(self):
+        n_frames = 40
+        iw = synthetic.make_inertial_world(
+            n_frames=n_frames, fps=10.0, n_landmarks=2000, seed=5
+        )
+        poses = iw.world.poses_wc
+        rng = np.random.default_rng(7)
+        n_boards = 2500
+        centers = poses[rng.integers(0, n_frames, n_boards), :3, 3]
+        offs = np.stack(
+            [
+                rng.uniform(-12.0, 12.0, n_boards),
+                rng.uniform(-5.0, 3.0, n_boards),
+                rng.uniform(2.0, 40.0, n_boards),
+            ],
+            axis=-1,
+        )
+        G = 5
+        world = synthetic.BillboardWorld(
+            centers=centers + offs,
+            sizes=rng.uniform(0.15, 0.6, n_boards),
+            intensities=rng.uniform(60.0, 255.0, n_boards),
+            poses_wc=poses,
+            textures=rng.uniform(30.0, 255.0, (n_boards, G, G)).astype(
+                np.float32
+            ),
+        )
+        vo = StereoInertialVO(make_cfg())
+        for i in range(n_frames):
+            imgL = synthetic.render_billboard_image(
+                world, poses[i], FX, FY, CX, CY, WIDTH, HEIGHT, baseline=0.0
+            )
+            imgR = synthetic.render_billboard_image(
+                world, poses[i], FX, FY, CX, CY, WIDTH, HEIGHT,
+                baseline=BF / FX,
+            )
+            vo.process_stereo_inertial(
+                imgL, imgR, iw.imu_per_frame[i], iw.timestamps[i]
+            )
+        vo.flush()
+        assert vo.imu_ready
+        assert getattr(vo, "_vio_pipelined", False)
+        states = [r.state for r in vo.records]
+        assert states[-1] == "OK"
+        assert states.count("LOST") == 0
+        traj = vo.trajectory_wc()
+        ate = evaluation.ate_rmse(
+            traj[:, :3, 3], poses[: len(traj), :3, 3]
+        )
+        assert ate["rmse"] < 0.5

@@ -127,6 +127,182 @@ def pose_inertial_optimize(
     return T, v, inlier, jnp.sum(inlier)
 
 
+class MarginalPrior(NamedTuple):
+    """15-dim marginal prior on a frame state (EdgePriorPoseImu,
+    g2otypes.h:740): information matrix + linearization point."""
+
+    H: jnp.ndarray  # (15, 15)
+    R: jnp.ndarray  # (3, 3) lin-point Tcw rotation
+    t: jnp.ndarray  # (3,)
+    vel: jnp.ndarray  # (3,)
+    bg: jnp.ndarray  # (3,)
+    ba: jnp.ndarray  # (3,)
+
+
+def initial_prior(T: SE3, vel, bg, ba, dtype=jnp.float32) -> MarginalPrior:
+    """Seed prior right after inertial initialization: the pose is pinned
+    by the visual solve, velocity moderately, biases strongly (the init
+    just estimated them)."""
+    d = jnp.concatenate(
+        [
+            jnp.full((6,), 1e3, dtype),
+            jnp.full((3,), 1e2, dtype),
+            jnp.full((6,), 1e4, dtype),
+        ]
+    )
+    return MarginalPrior(
+        H=jnp.diag(d), R=T.R, t=T.t, vel=jnp.asarray(vel, dtype),
+        bg=jnp.asarray(bg, dtype), ba=jnp.asarray(ba, dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters"))
+@precise
+def pose_inertial_prior_optimize(
+    cam: CameraParams,
+    prior: MarginalPrior,
+    T1_init: SE3,
+    v1_init: jnp.ndarray,
+    bg1_init: jnp.ndarray,
+    ba1_init: jnp.ndarray,
+    T2_init: SE3,
+    v2_init: jnp.ndarray,
+    obs: PoseObs,
+    preint: pre.Preintegrated,
+    gravity_w: jnp.ndarray,
+    R_bc: jnp.ndarray,
+    t_bc: jnp.ndarray,
+    walk_info_g: jnp.ndarray,
+    walk_info_a: jnp.ndarray,
+    rounds: int = 2,
+    iters: int = 5,
+):
+    """The full PoseInertialOptimizationLastFrame graph
+    (optimizer.cpp:7095): BOTH frame states move — previous frame
+    [pose, vel, bg, ba] under its marginal prior, current frame under the
+    visual observations — connected by one EdgeInertial (biases taken
+    from the previous state, as in g2otypes.h:484) and gyro/acc
+    random-walk edges. After convergence the previous state is
+    Schur-marginalized out of the final Hessian (Optimizer::Marginalize,
+    optimizer.cpp:4581), producing the next frame's prior.
+
+    State tangent (30,): [xi1(6) dv1(3) dbg1(3) dba1(3)
+                          xi2(6) dv2(3) dbg2(3) dba2(3)].
+    Returns (T2, v2, bg2, ba2, prior_next, inlier_mask, n_inliers)."""
+    dtype = T2_init.t.dtype
+    info9 = pre.information(preint)
+    chi2_th = jnp.where(obs.stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+    prior_T = SE3(prior.R, prior.t)
+
+    def split(d):
+        return (d[0:6], d[6:9], d[9:12], d[12:15], d[15:21], d[21:24],
+                d[24:27], d[27:30])
+
+    def inertial_res(d, st):
+        T1, v1, bg1, ba1, T2, v2, bg2, ba2 = st
+        x1, dv1, dbg1, dba1, x2, dv2, _, _ = split(d)
+        T1c = se3.retract_left(T1, x1)
+        T2c = se3.retract_left(T2, x2)
+        Rb1, pb1 = body_from_cam(T1c, R_bc, t_bc)
+        Rb2, pb2 = body_from_cam(T2c, R_bc, t_bc)
+        return pre.inertial_residual(
+            preint, Rb1, v1 + dv1, pb1, Rb2, v2 + dv2, pb2,
+            bg1 + dbg1, ba1 + dba1, gravity_w,
+        )
+
+    def prior_res(d, st):
+        T1, v1, bg1, ba1 = st[0], st[1], st[2], st[3]
+        x1, dv1, dbg1, dba1 = split(d)[:4]
+        T1c = se3.retract_left(T1, x1)
+        r_pose = se3.log(T1c.compose(prior_T.inverse()))
+        return jnp.concatenate([
+            r_pose, v1 + dv1 - prior.vel, bg1 + dbg1 - prior.bg,
+            ba1 + dba1 - prior.ba,
+        ])
+
+    def build_system(st, inlier, use_huber):
+        T1, v1, bg1, ba1, T2, v2, bg2, ba2 = st
+        H = jnp.zeros((30, 30), dtype)
+        g = jnp.zeros((30,), dtype)
+        # visual on state 2 pose
+        r, J, row_mask = _residual_jac(cam, T2, obs)
+        row_mask = row_mask * inlier[:, None].astype(r.dtype)
+        chi2 = _chi2(r, row_mask, obs.sigma2)
+        w = 1.0 / obs.sigma2
+        if use_huber:
+            delta2 = jnp.where(obs.stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+            w = w * robust.huber_weight(chi2 / delta2, 1.0)
+        Jm = J * row_mask[..., None]
+        rm = r * row_mask
+        H = H.at[15:21, 15:21].add(jnp.einsum("nki,nkj,n->ij", Jm, Jm, w))
+        g = g.at[15:21].add(jnp.einsum("nki,nk,n->i", Jm, rm, w))
+        # inertial edge
+        z = jnp.zeros((30,), dtype)
+        r_i = inertial_res(z, st)
+        J_i = jax.jacfwd(inertial_res)(z, st)  # (9, 30)
+        H = H + J_i.T @ info9 @ J_i
+        g = g + J_i.T @ info9 @ r_i
+        # bias random walks bg2-bg1, ba2-ba1
+        for (a, b, wi) in ((slice(9, 12), slice(24, 27), walk_info_g),
+                           (slice(12, 15), slice(27, 30), walk_info_a)):
+            I3 = jnp.eye(3, dtype=dtype) * wi
+            H = H.at[a, a].add(I3).at[b, b].add(I3)
+            H = H.at[a, b].add(-I3).at[b, a].add(-I3)
+        r_bg = bg2 - bg1
+        r_ba = ba2 - ba1
+        g = g.at[24:27].add(walk_info_g * r_bg).at[9:12].add(-walk_info_g * r_bg)
+        g = g.at[27:30].add(walk_info_a * r_ba).at[12:15].add(-walk_info_a * r_ba)
+        # marginal prior on state 1
+        r_p = prior_res(z, st)
+        J_p = jax.jacfwd(prior_res)(z, st)  # (15, 30)
+        H = H + J_p.T @ prior.H @ J_p
+        g = g + J_p.T @ prior.H @ r_p
+        return H, g
+
+    def retract(st, dx):
+        T1, v1, bg1, ba1, T2, v2, bg2, ba2 = st
+        x1, dv1, dbg1, dba1, x2, dv2, dbg2, dba2 = split(dx)
+        return (
+            se3.retract_left(T1, x1), v1 + dv1, bg1 + dbg1, ba1 + dba1,
+            se3.retract_left(T2, x2), v2 + dv2, bg2 + dbg2, ba2 + dba2,
+        )
+
+    def gn_round(carry, use_huber):
+        st, inlier = carry
+
+        def step(i, st):
+            H, g = build_system(st, inlier, use_huber)
+            damp = 1e-6 * jnp.trace(H) / 30.0 + 1e-9
+            dx = -jnp.linalg.solve(H + damp * jnp.eye(30, dtype=dtype), g)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+            return retract(st, dx)
+
+        st = jax.lax.fori_loop(0, iters, step, st)
+        r, _, row_mask = _residual_jac(cam, st[4], obs)
+        chi2 = _chi2(r, row_mask, obs.sigma2)
+        new_inlier = obs.valid & (chi2 <= chi2_th) & (row_mask[:, 0] > 0)
+        return st, new_inlier
+
+    st = (T1_init, v1_init, bg1_init, ba1_init, T2_init, v2_init,
+          bg1_init, ba1_init)
+    inlier = obs.valid
+    for rnd in range(rounds):
+        st, inlier = gn_round((st, inlier), use_huber=rnd < 1)
+
+    # marginalize state 1 out of the converged system -> next prior
+    H, _ = build_system(st, inlier, False)
+    H11 = H[0:15, 0:15] + 1e-6 * jnp.eye(15, dtype=dtype)
+    H12 = H[0:15, 15:30]
+    H22 = H[15:30, 15:30]
+    H_marg = H22 - H12.T @ jnp.linalg.solve(H11, H12)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    T2, v2, bg2, ba2 = st[4], st[5], st[6], st[7]
+    prior_next = MarginalPrior(
+        H=H_marg, R=T2.R, t=T2.t, vel=v2, bg=bg2, ba=ba2
+    )
+    return T2, v2, bg2, ba2, prior_next, inlier, jnp.sum(inlier)
+
+
 def predict_camera_pose(
     preint: pre.Preintegrated,
     T_last_cw: SE3,

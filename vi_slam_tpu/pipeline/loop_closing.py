@@ -158,66 +158,6 @@ def _apply_correction(
     return state._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos)
 
 
-@jax.jit
-def _fuse_points(
-    state: MapState,
-    src: jnp.ndarray,  # (C,) current-side mp ids to be replaced
-    dst: jnp.ndarray,  # (C,) loop-side replacement mp ids
-    valid: jnp.ndarray,
-) -> MapState:
-    """Replace duplicated points along the loop seam (MapPoint::Replace +
-    SearchAndFuse capability, mappoint.cpp / loopclosing.cpp:1754):
-    kf_mp references are remapped src->dst, src rows invalidated, and
-    src observations appended to dst (capacity permitting).
-    """
-    M, P = state.mp_obs_kf.shape
-    ok = valid & (src >= 0) & (dst >= 0) & (src != dst)
-    remap = jnp.arange(M, dtype=jnp.int32)
-    remap = remap.at[jnp.where(ok, src, M - 1)].set(
-        jnp.where(ok, dst, remap[M - 1])
-    )
-    # fix dump slot
-    remap = remap.at[M - 1].set(M - 1)
-    kf_mp = jnp.where(state.kf_mp >= 0, remap[state.kf_mp], state.kf_mp)
-    mp_valid = state.mp_valid.at[jnp.where(ok, src, M - 1)].set(
-        jnp.where(ok, False, state.mp_valid[M - 1])
-    )
-    mp_valid = mp_valid.at[M - 1].set(state.mp_valid[M - 1])
-
-    def merge_one(c, st):
-        obs_kf, obs_idx, n_obs = st
-        s, d, o = src[c], dst[c], ok[c]
-        s = jnp.clip(s, 0, M - 1)
-        d = jnp.clip(d, 0, M - 1)
-
-        def body(p, st2):
-            okf, oidx, nob = st2
-            have = (state.mp_obs_kf[s, p] >= 0) & o
-            slot = jnp.clip(nob[d], 0, P - 1)
-            can = have & (nob[d] < P)
-            okf = okf.at[d, slot].set(
-                jnp.where(can, state.mp_obs_kf[s, p], okf[d, slot])
-            )
-            oidx = oidx.at[d, slot].set(
-                jnp.where(can, state.mp_obs_idx[s, p], oidx[d, slot])
-            )
-            nob = nob.at[d].add(jnp.where(can, 1, 0))
-            return okf, oidx, nob
-
-        return jax.lax.fori_loop(0, P, body, (obs_kf, obs_idx, n_obs))
-
-    obs_kf, obs_idx, n_obs = jax.lax.fori_loop(
-        0,
-        src.shape[0],
-        merge_one,
-        (state.mp_obs_kf, state.mp_obs_idx, state.mp_n_obs),
-    )
-    return state._replace(
-        kf_mp=kf_mp, mp_valid=mp_valid, mp_obs_kf=obs_kf,
-        mp_obs_idx=obs_idx, mp_n_obs=n_obs,
-    )
-
-
 @partial(jax.jit, static_argnames=("k", "levels", "n_words"))
 def _kf_bow(state: MapState, slot: jnp.ndarray, vocab_bits, idf, k, levels, n_words):
     words, _ = voc._transform_bits(
@@ -461,7 +401,9 @@ class LoopCloser:
 
         # fuse seam duplicates: current-side mp replaced by loop-side mp
         mp_a, mp_b, fvalid = fused
-        state = _fuse_points(state, mp_a, mp_b, fvalid)
+        from vi_slam_tpu.slam_map.state import fuse_points
+
+        state = fuse_points(state, mp_a, mp_b, fvalid)
 
         # essential graph over all valid KFs. Structural-edge measurements
         # come from the PRE-correction poses (locally consistent odometry —

@@ -273,6 +273,138 @@ def scatter_ba_result(
     return state._replace(kf_R=new_R, kf_t=new_t, mp_pos=new_pos)
 
 
+@partial(jax.jit, static_argnames=("max_fuse", "n_levels", "radius",
+                                  "th_low", "scale_factor", "width",
+                                  "height"))
+def fuse_pair_dir(
+    cam: CameraParams,
+    state: MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    alive: jnp.ndarray,
+    width: float,
+    height: float,
+    max_fuse: int = 96,
+    radius: float = 3.0,
+    th_low: int = 50,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> MapState:
+    """One direction of SearchInNeighbors (localmapping.cpp:722 +
+    FMatcher::Fuse fmatcher.cpp:1918): project keyframe a's map points
+    into keyframe b; a match onto a free keypoint becomes a new
+    observation, a match onto a keypoint holding a different point merges
+    the two (the point with more observations survives)."""
+    from vi_slam_tpu.slam_map import state as sm
+
+    K, N = state.kf_mp.shape
+    M, _ = state.mp_obs_kf.shape
+    mp = state.kf_mp[kf_a]  # (N,)
+    safe = jnp.clip(mp, 0, M - 1)
+    has = (mp >= 0) & alive & state.mp_valid[safe]
+    pos = state.mp_pos[safe]
+    desc = state.mp_desc[safe]
+    maxd = state.mp_max_dist[safe]
+
+    Tb = SE3(state.kf_R[kf_b], state.kf_t[kf_b])
+    pc = Tb.apply(pos)
+    z = pc[..., 2]
+    uv = pinhole.project(cam, pc)
+    in_img = (
+        (uv[..., 0] >= 0) & (uv[..., 0] < width)
+        & (uv[..., 1] >= 0) & (uv[..., 1] < height) & (z > 0.1)
+    )
+    cb = Tb.inverse().t
+    dist = jnp.linalg.norm(pos - cb, axis=-1)
+    ratio_d = jnp.maximum(maxd / jnp.maximum(dist, 1e-6), 1e-6)
+    level = jnp.clip(
+        jnp.ceil(jnp.log(ratio_d) / np.log(scale_factor)).astype(jnp.int32),
+        0, n_levels - 1,
+    )
+    valid = has & in_img
+
+    level_scales = scale_factor ** jnp.arange(n_levels, dtype=uv.dtype)
+    m = match_ops.search_by_projection(
+        uv, level, desc, valid,
+        state.kf_xy[kf_b], state.kf_level[kf_b], state.kf_desc[kf_b],
+        state.kf_kp_valid[kf_b],
+        radius=radius, level_scales=level_scales,
+        max_dist=th_low, ratio=0.95,
+    )
+    m = match_ops.resolve_duplicate_targets(m, N)
+    kp = jnp.clip(m.idx, 0, N - 1)
+    q = state.kf_mp[kf_b, kp]  # point already held by the matched keypoint
+    okm = m.ok & valid
+
+    # case 1: free keypoint -> new observation of p, unless p is already
+    # observed by kf_b at another keypoint (Fuse's pMP->IsInKeyFrame(pKF)
+    # guard, fmatcher.cpp:1970 — without it every pass would stack
+    # duplicate (point, keyframe) observations)
+    already_in_b = jnp.any(state.mp_obs_kf[safe] == kf_b, axis=1)
+    free = okm & (q < 0) & ~already_in_b
+    state = sm.register_obs(
+        state, jnp.where(free, mp, -1), kf_b, kp, free
+    )
+
+    # case 2: duplicate -> merge into the point with more observations
+    dup = okm & (q >= 0) & (q != mp)
+    q_safe = jnp.clip(q, 0, M - 1)
+    p_wins = state.mp_n_obs[safe] >= state.mp_n_obs[q_safe]
+    winner = jnp.where(p_wins, mp, q)
+    loser = jnp.where(p_wins, q, mp)
+    # budget: strongest (lowest-distance) pairs first
+    sel_score = jnp.where(dup, -m.dist.astype(jnp.float32), -jnp.inf)
+    _, sel = jax.lax.top_k(sel_score, max_fuse)
+    sel = sel.astype(jnp.int32)
+    dup_sel = dup[sel] & jnp.isfinite(sel_score[sel])
+    state = sm.fuse_points(state, loser[sel], winner[sel], dup_sel)
+    # refresh winner statistics (normal / distinctive descriptor)
+    state = sm.update_point_stats(
+        state, jnp.where(dup_sel, winner[sel], M - 1)
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("n_window", "max_fuse", "n_levels",
+                                  "radius", "th_low", "scale_factor",
+                                  "width", "height"),
+         donate_argnums=(1,))
+def fuse_neighbors(
+    cam: CameraParams,
+    state: MapState,
+    ref_slot: jnp.ndarray,
+    width: float,
+    height: float,
+    n_window: int = 4,
+    max_fuse: int = 96,
+    radius: float = 3.0,
+    th_low: int = 50,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> MapState:
+    """SearchInNeighbors for the newest keyframe: fuse both directions
+    against its best covisible neighbors (localmapping.cpp:722)."""
+    window = covis_window(state, ref_slot, n_window)
+
+    def body(i, st):
+        nb = window[i]
+        al = nb >= 0
+        nb = jnp.clip(nb, 0, st.kf_mp.shape[0] - 1)
+        st = fuse_pair_dir(
+            cam, st, ref_slot, nb, al, width, height, max_fuse=max_fuse,
+            radius=radius, th_low=th_low, scale_factor=scale_factor,
+            n_levels=n_levels,
+        )
+        st = fuse_pair_dir(
+            cam, st, nb, ref_slot, al, width, height, max_fuse=max_fuse,
+            radius=radius, th_low=th_low, scale_factor=scale_factor,
+            n_levels=n_levels,
+        )
+        return st
+
+    return jax.lax.fori_loop(1, n_window, body, state)
+
+
 @jax.jit
 def gather_global_ba_problem(cam: CameraParams, state: MapState,
                              scale_factor: float = 1.2) -> BAProblem:

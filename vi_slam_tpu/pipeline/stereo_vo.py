@@ -405,6 +405,10 @@ class StereoVO:
 
         self._frame_fn = jax.jit(_frame, donate_argnums=(1,))
         self._extract_pair_fn = jax.jit(_extract_pair)
+        # un-jitted cores for subclasses that fuse them into their own
+        # frame programs (the inertial pipeline's _frame_vio)
+        self._extract_pair_core = _extract_pair
+        self._kf_decision_consts = (min_ok_static, kf_budget)
 
         @precise
         def _create_kf_body(mstate, slot, T, frame_id, ts, feats, uright,
@@ -461,6 +465,7 @@ class StereoVO:
         self._create_kf_fn = jax.jit(
             _create_kf_body, static_argnames=("budget",), donate_argnums=(0,)
         )
+        self._create_kf_core = _create_kf_body
 
         ba_cfg = cfg.ba
 
@@ -506,6 +511,55 @@ class StereoVO:
             return mstate, info
 
         self._maintenance_fn = jax.jit(_maintenance, donate_argnums=(0,))
+
+        is_stereo = float(cam.bf) > 0
+
+        @precise
+        def _mapping_pass(mstate, ref_slot):
+            """LocalMapping duties between KF insertion and local BA
+            (localmapping.cpp:363 CreateNewMapPoints + :722
+            SearchInNeighbors) as one dispatch-only program: fuse
+            duplicate points against covisible neighbors, then (stereo)
+            triangulate far/unmatched keypoints against the best
+            covisible neighbor — the mono pipeline triangulates at KF
+            creation instead (mono_vo._create_keyframe)."""
+            mstate = steps.fuse_neighbors(
+                cam, mstate, ref_slot, float(W), float(H),
+                n_window=3, max_fuse=96,
+                th_low=cfg.matcher.th_low,
+                scale_factor=ext_cfg.scale_factor,
+                n_levels=ext_cfg.n_levels,
+            )
+            if is_stereo:
+                K = mstate.kf_R.shape[0]
+                M = mstate.mp_pos.shape[0]
+                window = steps.covis_window(mstate, ref_slot, 2)
+                nb = jnp.clip(window[1], 0, K - 1)
+                cand = steps.match_and_triangulate(
+                    cam, mstate, ref_slot, nb, max_new=256,
+                    th_low=cfg.matcher.th_low,
+                    scale_factor=ext_cfg.scale_factor,
+                    n_levels=ext_cfg.n_levels,
+                )
+                base_id = mstate.mp_count[0]
+                offsets = jnp.cumsum(cand.create.astype(jnp.int32)) - 1
+                create = (
+                    cand.create & (base_id + offsets < M - 1) & (window[1] >= 0)
+                )
+                mstate, ids = map_state.create_points(
+                    mstate, base_id, ref_slot, cand.kp_new, cand.pos,
+                    cand.desc, cand.normal, cand.min_dist, cand.max_dist,
+                    create,
+                )
+                mstate = map_state.register_obs(
+                    mstate, ids, nb, cand.kp_ref, create
+                )
+                mstate = map_state.update_point_stats(
+                    mstate, jnp.where(create, ids, M - 1)
+                )
+            return mstate
+
+        self._mapping_fn = jax.jit(_mapping_pass, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ API
 
@@ -751,6 +805,9 @@ class StereoVO:
     def _kf_mapping(self, n_in: int):
         """LocalMapping + LoopClosing duties run at keyframe rate
         (localmapping.cpp:50-260 loop body)."""
+        if self.n_kf >= 3:
+            with self.timer.stage("mapping"):
+                self.map = self._mapping_fn(self.map, jnp.int32(self.ref_kf))
         with self.timer.stage("local_ba"):
             self._local_ba()
         with self.timer.stage("culling"):

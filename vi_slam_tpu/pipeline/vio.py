@@ -116,6 +116,9 @@ class StereoInertialVO(StereoVO):
         self.g_w_dev = jnp.zeros((3,), jnp.float32)
         self.vel_w_dev = jnp.zeros((3,), jnp.float32)
         self._accum = ident
+        self.prior_dev = pose_inertial.initial_prior(
+            SE3.identity(), jnp.zeros((3,)), jnp.zeros((3,)), jnp.zeros((3,))
+        )
         self._last_ts: Optional[float] = None
         self.imu_ready = False
         self._init_stage = 0  # 0 = none, 1 = first init, 2 = refined
@@ -147,11 +150,17 @@ class StereoInertialVO(StereoVO):
 
         self._integrate_fn = jax.jit(_integrate_and_accum)
 
+        walk_g2_f = float(cfg.imu.walk_gyro) ** 2
+        walk_a2_f = float(cfg.imu.walk_acc) ** 2
+
         @precise
         def _track_vio(mstate, ref_slot, feats, uright, depth, T_last,
-                       v_last, p_frame, bg, ba, g_w):
+                       v_last, p_frame, bg, ba, g_w, prior):
             """Fused inertial frame core: PredictStateIMU + projection
-            matching + PoseInertialOptimizationLastFrame, one dispatch."""
+            matching + the full PoseInertialOptimizationLastFrame graph
+            (both frame states move; the previous frame carries the
+            marginal prior and is Schur-marginalized back out), one
+            dispatch."""
             T_pred, v_pred = pose_inertial.predict_camera_pose(
                 p_frame, T_last, v_last, bg, ba, g_w, R_bc, t_bc
             )
@@ -161,7 +170,9 @@ class StereoInertialVO(StereoVO):
                 cam, mstate, mp_ids, mp_mask, T_pred, W, H,
                 n_levels=ext_cfg.n_levels, scale_factor=ext_cfg.scale_factor,
             )
-            R1, p1 = pose_inertial.body_from_cam(T_last, R_bc, t_bc)
+            dt = jnp.maximum(p_frame.dt, 1e-3)
+            wig = 1.0 / (walk_g2_f * dt)
+            wia = 1.0 / (walk_a2_f * dt)
 
             def run_match(rad):
                 m = match_ops.search_by_projection(
@@ -172,22 +183,24 @@ class StereoInertialVO(StereoVO):
                 )
                 m = match_ops.resolve_duplicate_targets(m, n_feats)
                 obs, kp_idx = steps.build_pose_obs(proj, m, feats, uright)
-                T_opt, v_opt, inlier, n_in = pose_inertial.pose_inertial_optimize(
-                    cam, T_pred, v_pred, obs, p_frame,
-                    R1, v_last, p1, bg, ba, g_w, R_bc, t_bc,
+                (T_opt, v_opt, bg_opt, ba_opt, prior_new, inlier,
+                 n_in) = pose_inertial.pose_inertial_prior_optimize(
+                    cam, prior, T_last, v_last, bg, ba, T_pred, v_pred,
+                    obs, p_frame, g_w, R_bc, t_bc, wig, wia,
                     rounds=rounds, iters=iters,
                 )
-                return m, kp_idx, T_opt, v_opt, inlier, n_in
+                return (m, kp_idx, T_opt, v_opt, bg_opt, ba_opt, prior_new,
+                        inlier, n_in)
 
-            m1, kp1, T1, v1, in1, n1 = run_match(radius)
-            m2, kp2, T2, v2, in2, n2 = run_match(3.0 * radius)
-            use_wide = n1 < min_matches
+            r1 = run_match(radius)
+            r2 = run_match(3.0 * radius)
+            use_wide = r1[-1] < min_matches
             pick = lambda a, b: jax.tree.map(
                 lambda x, y: jnp.where(use_wide, y, x), a, b
             )
-            m, kp_idx, T, v_new, inlier, n_in = (
-                pick(m1, m2), pick(kp1, kp2), pick(T1, T2), pick(v1, v2),
-                pick(in1, in2), jnp.where(use_wide, n2, n1),
+            (m, kp_idx, T, v_new, bg_new, ba_new, prior_new, inlier,
+             n_in) = tuple(pick(a, b) for a, b in zip(r1[:-1], r2[:-1])) + (
+                jnp.where(use_wide, r2[-1], r1[-1]),
             )
 
             ok = m.ok & proj.valid & inlier
@@ -219,9 +232,86 @@ class StereoInertialVO(StereoVO):
                 T_R=T.R, T_t=T.t, vel_R=vel_se3.R, vel_t=vel_se3.t,
                 matched_mp=matched_mp, packed=packed,
             )
-            return bundle, v_new
+            return bundle, v_new, bg_new, ba_new, prior_new
 
         self._track_vio_fn = jax.jit(_track_vio)
+
+        tr_cfg = cfg.tracker
+        min_ok_static, kf_budget = self._kf_decision_consts
+
+        def _frame_vio(imgs_u8, mstate, kf_preint, kf_vel, carry, T_last,
+                       v_last, bg, ba, g_w, prior, accum, acc, gyro, dts,
+                       frame_id, ts, loc_only):
+            """Fused inertial per-frame program (the pipelined VIO path):
+            extract + stereo + preintegrate + inertial track + KEYFRAME
+            DECISION AND CREATION (incl. closing the preintegration
+            segment) in one dispatch — the inertial mirror of the visual
+            `_frame` (tracking.cpp:1229 GrabImageStereo + :1384
+            PreintegrateIMU + :2925/:3063 NeedNew/CreateNewKeyFrame)."""
+            feats, uright, depth = self._extract_pair_core(imgs_u8)
+            p_frame = pre.integrate(self.calib, acc, gyro, dts, bg, ba)
+            accum2 = pre.compose(accum, p_frame)
+            K = mstate.kf_R.shape[0]
+            ref_slot = jnp.clip(mstate.kf_count[0] - 1, 0, K - 1)
+            bundle, v_new, bg_new, ba_new, prior_new = _track_vio(
+                mstate, ref_slot, feats, uright, depth, T_last, v_last,
+                p_frame, bg, ba, g_w, prior,
+            )
+            from vi_slam_tpu.pipeline.stereo_vo import (
+                _PK_NCLOSE, _PK_NCREAT, _PK_KFFLAG, _PK_KFSLOT, _PK_KFCOUNT,
+            )
+
+            p = bundle.packed
+            n_in = p[_PK_NIN].astype(jnp.int32)
+            n_close = p[_PK_NCLOSE].astype(jnp.int32)
+            n_creat = p[_PK_NCREAT].astype(jnp.int32)
+            fs = carry[0] + 1
+            ref_tracked = jnp.maximum(carry[1], 1)
+            ok = n_in >= min_ok_static
+            capacity = mstate.kf_count[0] < K - 1
+            timeout = fs >= tr_cfg.max_frames_between_kf
+            min_frames_ok = fs >= tr_cfg.min_frames_between_kf
+            need_close = (n_close < 100) & (n_creat > 70)
+            weak = n_in.astype(jnp.float32) < (
+                tr_cfg.kf_ref_ratio * ref_tracked.astype(jnp.float32)
+            )
+            kf_new = (
+                ok & capacity & jnp.logical_not(loc_only)
+                & (timeout | (min_frames_ok & (need_close | weak)))
+            )
+            slot = mstate.kf_count[0]
+            T_new = SE3(bundle.T_R, bundle.T_t)
+
+            def do_create(ops):
+                ms, kfp, kfv, acc_run = ops
+                ms = self._create_kf_core(
+                    ms, slot, T_new, frame_id, ts, feats, uright, depth,
+                    bundle.matched_mp, kf_budget,
+                )
+                kfp, kfv, fresh = _close_segment(
+                    kfp, kfv, slot, acc_run, v_new, bg_new, ba_new
+                )
+                return ms, kfp, kfv, fresh
+
+            mstate, kf_preint, kf_vel, accum3 = jax.lax.cond(
+                kf_new, do_create, lambda ops: ops,
+                (mstate, kf_preint, kf_vel, accum2),
+            )
+            carry_new = jnp.where(
+                kf_new,
+                jnp.stack([jnp.int32(0), n_in]),
+                jnp.stack([fs, carry[1]]),
+            ).astype(jnp.int32)
+            packed = (
+                p.at[_PK_KFFLAG].set(kf_new.astype(jnp.float32))
+                .at[_PK_KFSLOT].set(jnp.where(kf_new, slot, -1).astype(jnp.float32))
+                .at[_PK_KFCOUNT].set(mstate.kf_count[0].astype(jnp.float32))
+            )
+            bundle = bundle._replace(packed=packed)
+            return (bundle, mstate, kf_preint, kf_vel, carry_new, accum3,
+                    v_new, bg_new, ba_new, prior_new, feats, uright, depth)
+
+        self._frame_vio_fn = jax.jit(_frame_vio, donate_argnums=(1, 2, 3))
 
         def _close_segment(kf_preint, kf_vel, slot, accum, v, bg, ba):
             """Keyframe creation: store the finished segment + velocity,
@@ -283,84 +373,109 @@ class StereoInertialVO(StereoVO):
         self._gather_init_fn = jax.jit(_gather_init)
 
         ba_cfg = cfg.ba
-        Wv = ba_cfg.inertial_window
-        WF = min(6, ba_cfg.max_fixed_kfs)  # fixed covisible anchors
-        WT = Wv + WF
         walk_g2 = float(cfg.imu.walk_gyro) ** 2
         walk_a2 = float(cfg.imu.walk_acc) ** 2
 
-        @precise
-        def _vi_local_ba(mstate, kf_preint, kf_vel, temporal, fixed_t,
-                         last_idx, bg, ba, g_w, ref_slot):
-            """LocalInertialBA (optimizer.cpp:3974): the temporal keyframe
-            chain carries pose/vel/bias states and inertial edges; on top,
-            the most-covisible OUT-of-window keyframes join as fixed
-            vertices (optimizer.cpp:4076 lFixedKeyFrames) so shared map
-            points stay anchored to the rest of the map. Scatters
-            poses/points/velocities back and returns the pose-chain
-            correction like the visual `_local_ba`."""
-            K = mstate.kf_R.shape[0]
-            # fixed covisible anchors: top covis of ref, minus temporal ones
-            cand = steps.covis_window(mstate, ref_slot, WT)
-            in_temp = jnp.any(
-                cand[:, None] == temporal[None, :], axis=1
-            ) | (cand < 0)
-            key = jnp.where(in_temp, WT + 1, jnp.arange(WT))
-            order = jnp.argsort(key)[:WF]
-            anchors = jnp.where(
-                key[order] <= WT, cand[order], -1
-            ).astype(jnp.int32)
-            window = jnp.concatenate([temporal, anchors])
-            fixed = jnp.concatenate(
-                [fixed_t, jnp.ones((WF,), bool)]
-            )
-            mp_ids, _ = steps.gather_local_points(
-                mstate, temporal, ba_cfg.max_local_points
-            )
-            visual = steps.gather_ba_problem(
-                cam, mstate, window, fixed, mp_ids,
-                n_window=WT, n_points=ba_cfg.max_local_points,
-                n_obs=cfg.map.max_obs_per_point,
-            )
-            safe = jnp.clip(window, 0, K - 1)
-            vel = kf_vel[safe]
-            seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
-            # inertial edges only along the temporal chain prefix
-            ivalid = (
-                (window[1:] >= 0) & (window[:-1] >= 0)
-                & (jnp.arange(WT - 1) < Wv - 1)
-            )
-            dt = jnp.maximum(seg.dt, 1e-3)
-            prob = vi_ba.VIBAProblem(
-                visual=visual,
-                vel=vel,
-                bg=jnp.broadcast_to(bg, (WT, 3)),
-                ba=jnp.broadcast_to(ba, (WT, 3)),
-                preint=seg,
-                inertial_valid=ivalid,
-                gravity=g_w,
-                walk_info_g=1.0 / (walk_g2 * dt),
-                walk_info_a=1.0 / (walk_a2 * dt),
-                R_bc=R_bc, t_bc=t_bc,
-            )
-            res = vi_ba.vi_bundle_adjust(
-                cam, prob, iters=ba_cfg.local_ba_iters, use_huber=True
-            )
-            ref_pre = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
-            mstate = steps.scatter_ba_result(
-                mstate, window, fixed, mp_ids, res.poses, res.points
-            )
-            ref_post = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
-            # drop-mode scatter: pad rows must not clobber slot 0
-            upd = (window >= 0) & ~fixed
-            kf_vel = kf_vel.at[jnp.where(upd, window, K)].set(
-                res.vel, mode="drop"
-            )
-            delta = ref_pre.inverse().compose(ref_post)
-            return (mstate, kf_vel, res.bg[last_idx], res.ba[last_idx],
-                    delta.R, delta.t)
+        def _make_vi_ba(Wv, WF, n_iters):
+            """Builds a jitted VI-BA program over a (Wv,) temporal chain
+            window plus WF fixed covisible anchors, n_iters LM iterations.
+            Instantiated twice: the keyframe-rate LocalInertialBA and the
+            post-init whole-chain FullInertialBA."""
+            WT = Wv + WF
+            fn = _vi_ba_body(Wv, WF, WT, n_iters)
+            return jax.jit(fn, donate_argnums=(0,))
 
-        self._vi_ba_fn = jax.jit(_vi_local_ba, donate_argnums=(0,))
+        def _vi_ba_body(Wv, WF, WT, n_iters):
+            @precise
+            def _vi_local_ba(mstate, kf_preint, kf_vel, temporal, fixed_t,
+                             last_idx, bg, ba, g_w, ref_slot):
+                """LocalInertialBA (optimizer.cpp:3974): the temporal
+                keyframe chain carries pose/vel/bias states and inertial
+                edges; on top, the most-covisible OUT-of-window keyframes
+                join as fixed vertices (optimizer.cpp:4076
+                lFixedKeyFrames) so shared map points stay anchored to
+                the rest of the map. Scatters poses/points/velocities
+                back and returns the pose-chain correction like the
+                visual `_local_ba`."""
+                K = mstate.kf_R.shape[0]
+                if WF > 0:
+                    # fixed covisible anchors: top covis of ref, minus
+                    # temporal ones
+                    cand = steps.covis_window(mstate, ref_slot, WT)
+                    in_temp = jnp.any(
+                        cand[:, None] == temporal[None, :], axis=1
+                    ) | (cand < 0)
+                    key = jnp.where(in_temp, WT + 1, jnp.arange(WT))
+                    order = jnp.argsort(key)[:WF]
+                    anchors = jnp.where(
+                        key[order] <= WT, cand[order], -1
+                    ).astype(jnp.int32)
+                    window = jnp.concatenate([temporal, anchors])
+                    fixed = jnp.concatenate(
+                        [fixed_t, jnp.ones((WF,), bool)]
+                    )
+                else:
+                    window = temporal
+                    fixed = fixed_t
+                mp_ids, _ = steps.gather_local_points(
+                    mstate, temporal, ba_cfg.max_local_points
+                )
+                visual = steps.gather_ba_problem(
+                    cam, mstate, window, fixed, mp_ids,
+                    n_window=WT, n_points=ba_cfg.max_local_points,
+                    n_obs=cfg.map.max_obs_per_point,
+                )
+                safe = jnp.clip(window, 0, K - 1)
+                vel = kf_vel[safe]
+                seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
+                # inertial edges only along the temporal chain prefix
+                ivalid = (
+                    (window[1:] >= 0) & (window[:-1] >= 0)
+                    & (jnp.arange(WT - 1) < Wv - 1)
+                )
+                dt = jnp.maximum(seg.dt, 1e-3)
+                prob = vi_ba.VIBAProblem(
+                    visual=visual,
+                    vel=vel,
+                    bg=jnp.broadcast_to(bg, (WT, 3)),
+                    ba=jnp.broadcast_to(ba, (WT, 3)),
+                    preint=seg,
+                    inertial_valid=ivalid,
+                    gravity=g_w,
+                    walk_info_g=1.0 / (walk_g2 * dt),
+                    walk_info_a=1.0 / (walk_a2 * dt),
+                    R_bc=R_bc, t_bc=t_bc,
+                )
+                res = vi_ba.vi_bundle_adjust(
+                    cam, prob, iters=n_iters, use_huber=True
+                )
+                ref_pre = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
+                mstate = steps.scatter_ba_result(
+                    mstate, window, fixed, mp_ids, res.poses, res.points
+                )
+                ref_post = SE3(mstate.kf_R[ref_slot], mstate.kf_t[ref_slot])
+                # drop-mode scatter: pad rows must not clobber slot 0
+                upd = (window >= 0) & ~fixed
+                kf_vel = kf_vel.at[jnp.where(upd, window, K)].set(
+                    res.vel, mode="drop"
+                )
+                delta = ref_pre.inverse().compose(ref_post)
+                return (mstate, kf_vel, res.bg[last_idx], res.ba[last_idx],
+                        delta.R, delta.t)
+
+            return _vi_local_ba
+
+        Wv = ba_cfg.inertial_window
+        WF = min(6, ba_cfg.max_fixed_kfs)
+        self._vi_ba_fn = _make_vi_ba(Wv, WF, ba_cfg.local_ba_iters)
+        # FullInertialBA (optimizer.cpp:385): whole temporal chain, no
+        # covisible anchors, only the origin fixed, more iterations. At
+        # inertial-init time the map is small, so a 32-slot chain window
+        # covers it entirely (the reference's call sites,
+        # localmapping.cpp:1320-1390, run it exactly then).
+        self._full_w = 32
+        self._full_vi_ba_fn = _make_vi_ba(self._full_w, 0,
+                                          2 * ba_cfg.local_ba_iters)
 
         def _apply_init(kf_vel, window, vel, v_now_slot):
             K = kf_vel.shape[0]
@@ -386,11 +501,67 @@ class StereoInertialVO(StereoVO):
     def process_stereo_inertial(self, img_left, img_right, imu_samples,
                                 timestamp: float) -> TrackStats:
         """Image inertial path (GrabImageStereo + GrabImuData semantics,
-        tracking.cpp:1229/:1362). Synchronous (no frame pipelining: the
-        IMU chain couples consecutive frames)."""
+        tracking.cpp:1229/:1362). Before inertial initialization (and
+        while recovering) the path is synchronous; once the inertial
+        state is live it pipelines exactly like the visual path — the
+        IMU chain couples consecutive frames only through device-resident
+        state (accumulator, biases, marginal prior), so dispatches chain
+        without host round trips."""
+        if not self.imu_ready or self.state != OK or self._last_ts is None:
+            self.flush()
+            self._vio_pipelined = False
+            imgs = self._upload_images(img_left, img_right)
+            feats, ur, dp = self._extract_pair_fn(imgs)
+            return self._inertial_entry(feats, ur, dp, imu_samples,
+                                        timestamp)
+        if not getattr(self, "_vio_pipelined", False):
+            # entering the pipelined regime: sync the device KF-decision
+            # carry with the host mirrors from the synchronous phase
+            self.carry_dev = jnp.asarray(
+                [self.frames_since_kf, max(self._ref_kf_tracked, 1)],
+                jnp.int32,
+            )
+            self._vio_pipelined = True
         imgs = self._upload_images(img_left, img_right)
-        feats, ur, dp = self._extract_pair_fn(imgs)
-        return self._inertial_entry(feats, ur, dp, imu_samples, timestamp)
+        acc, gyro, dts = _pad_imu(
+            imu_samples, self._last_ts, timestamp, self.imu_cap
+        )
+        self._last_ts = timestamp
+        self.frame_id += 1
+        with self.timer.stage("frame_core"):
+            (bundle, self.map, self.kf_preint_dev, self.kf_vel_dev,
+             self.carry_dev, self._accum, self.vel_w_dev, self.bg_dev,
+             self.ba_dev, self.prior_dev, feats, ur, dp) = (
+                self._frame_vio_fn(
+                    imgs, self.map, self.kf_preint_dev, self.kf_vel_dev,
+                    self.carry_dev, self.T_dev, self.vel_w_dev,
+                    self.bg_dev, self.ba_dev, self.g_w_dev, self.prior_dev,
+                    self._accum, jnp.asarray(acc), jnp.asarray(gyro),
+                    jnp.asarray(dts), jnp.int32(self.frame_id),
+                    jnp.asarray(timestamp, jnp.float32),
+                    jnp.asarray(self.localization_only),
+                )
+            )
+        job = FrameJob(self.frame_id, timestamp, self.ref_kf, bundle,
+                       feats, ur, dp, fused=True)
+        bundle.packed.copy_to_host_async()
+        self.T_dev = SE3(bundle.T_R, bundle.T_t)
+        self.vel_dev = SE3(bundle.vel_R, bundle.vel_t)
+        self._inflight.append(job)
+        st = None
+        while len(self._inflight) > self.pipeline_depth:
+            st = self._finalize(self._inflight.popleft())
+        return st if st is not None else TrackStats(
+            n_kfs=self.n_kf, n_mps=self.n_mp, state=self.state
+        )
+
+    def _on_keyframe_created(self, job: FrameJob, slot: int):
+        """Fused-path hook: the device already created the KF and closed
+        its preintegration segment; the host mirrors the chain and drives
+        the staged inertial init."""
+        if job.fused:
+            self.kf_chain.append(slot)
+            self._maybe_init_imu()
 
     def _inertial_entry(self, feats, ur, dp, imu_samples,
                         timestamp: float) -> TrackStats:
@@ -398,12 +569,15 @@ class StereoInertialVO(StereoVO):
         if self.state == NOT_INITIALIZED:
             return self._track_entry(feats, ur, dp, timestamp, None)
         if self.imu_ready and p_frame is not None:
-            bundle, v_new = self._track_vio_fn(
+            bundle, v_new, bg_new, ba_new, prior_new = self._track_vio_fn(
                 self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
                 self.T_dev, self.vel_w_dev, p_frame,
-                self.bg_dev, self.ba_dev, self.g_w_dev,
+                self.bg_dev, self.ba_dev, self.g_w_dev, self.prior_dev,
             )
             self.vel_w_dev = v_new
+            self.bg_dev = bg_new
+            self.ba_dev = ba_new
+            self.prior_dev = prior_new
         else:
             bundle = self._track_fn(
                 self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
@@ -514,8 +688,50 @@ class StereoInertialVO(StereoVO):
         )
         # reset the running segment's linearization point to the new biases
         self._accum = self._accum._replace(bias_gyro=res.bg, bias_acc=res.ba)
+        # seed (or re-seed) the per-frame marginal prior at the freshly
+        # initialized state (the first EdgePriorPoseImu of the hot path)
+        self.prior_dev = pose_inertial.initial_prior(
+            self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
+        )
         self.imu_ready = True
         self._init_stage += 1
+        self._full_inertial_ba()
+
+    def _full_inertial_ba(self):
+        """FullInertialBA after a successful inertial-init stage
+        (optimizer.cpp:385, driven at localmapping.cpp:1320-1390): one
+        whole-chain visual-inertial BA refines every keyframe pose,
+        velocity and the shared biases against the freshly estimated
+        gravity. The reference follows it with UpdateFrameIMU
+        (tracking.cpp:3817) to rewrite the live frame's state; here the
+        equivalent is re-anchoring the device pose chain and re-seeding
+        the marginal prior (trajectory records are pose-relative to
+        reference keyframes, so the keyframe scatter already reaches
+        them; gravity stays a world-frame vector, so no ApplyScaledRotation
+        rewrite exists by design)."""
+        if len(self.kf_chain) < 3:
+            return
+        Wv = self._full_w
+        window = np.full((Wv,), -1, np.int32)
+        chain = self.kf_chain[-Wv:]
+        window[: len(chain)] = chain
+        fixed = np.zeros((Wv,), bool)
+        fixed[0] = True
+        fixed[len(chain):] = True
+        (self.map, self.kf_vel_dev, self.bg_dev, self.ba_dev, dR,
+         dt) = self._full_vi_ba_fn(
+            self.map, self.kf_preint_dev, self.kf_vel_dev,
+            jnp.asarray(window), jnp.asarray(fixed),
+            jnp.int32(len(chain) - 1),
+            self.bg_dev, self.ba_dev, self.g_w_dev, jnp.int32(self.ref_kf),
+        )
+        delta = SE3(dR, dt)
+        self.T_dev = self.T_dev.compose(delta)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        self.vel_w_dev = self.kf_vel_dev[self.kf_chain[-1]]
+        self.prior_dev = pose_inertial.initial_prior(
+            self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
+        )
 
     def _local_ba(self):
         if not self.imu_ready:
@@ -539,6 +755,15 @@ class StereoInertialVO(StereoVO):
         delta = SE3(dR, dt)
         self.T_dev = self.T_dev.compose(delta)
         self._last_good = (self.T_dev.R, self.T_dev.t)
+        # UpdateFrameIMU-equivalent resync (tracking.cpp:3817): mapping
+        # just rewrote keyframe states and refined the biases, so the
+        # accumulated per-frame marginal prior is linearized at a stale
+        # chain — re-seed it at the corrected live state (this also
+        # bounds the prior information, which otherwise grows without
+        # forgetting and over-constrains the hot path)
+        self.prior_dev = pose_inertial.initial_prior(
+            self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
+        )
 
     def _handle_failure(self, job: FrameJob, st: TrackStats,
                         T_np: np.ndarray) -> TrackStats:

@@ -426,6 +426,93 @@ def register_obs(
     )
 
 
+@jax.jit
+def fuse_points(
+    state: MapState,
+    src: jnp.ndarray,  # (C,) loser mp ids to be replaced
+    dst: jnp.ndarray,  # (C,) winner mp ids
+    valid: jnp.ndarray,  # (C,) bool
+) -> MapState:
+    """Merge duplicated map points (MapPoint::Replace, mappoint.cpp +
+    SearchAndFuse / SearchInNeighbors-Fuse, loopclosing.cpp:1754,
+    localmapping.cpp:722): every kf_mp reference to src is remapped to
+    dst, src rows are invalidated, and src's observations are appended to
+    dst's list (capacity permitting) — fully vectorized.
+
+    Winners must be unique across the batch (duplicate winners are
+    dropped here; callers enforce uniqueness with a segment-min pick)."""
+    M, P = state.mp_obs_kf.shape
+    ok = valid & (src >= 0) & (dst >= 0) & (src != dst)
+    # keep only the first pair per winner (collision-free scatter rows)
+    dst_safe = jnp.where(ok, dst, M - 1)
+    C = src.shape[0]
+    first = jax.ops.segment_min(
+        jnp.where(ok, jnp.arange(C), C), dst_safe, num_segments=M
+    )
+    ok = ok & (first[dst_safe] == jnp.arange(C))
+
+    # remap keyframe-side references src -> dst
+    remap = jnp.arange(M, dtype=jnp.int32)
+    remap = remap.at[jnp.where(ok, src, M - 1)].set(
+        jnp.where(ok, dst, remap[M - 1])
+    )
+    remap = remap.at[M - 1].set(M - 1)
+    kf_mp = jnp.where(state.kf_mp >= 0, remap[state.kf_mp], state.kf_mp)
+
+    # invalidate losers
+    src_safe = jnp.where(ok, src, M - 1)
+    mp_valid = state.mp_valid.at[src_safe].set(
+        jnp.where(ok, False, state.mp_valid[src_safe])
+    )
+    mp_valid = mp_valid.at[M - 1].set(state.mp_valid[M - 1])
+
+    # append loser observations to the winner rows: obs slot j of loser c
+    # lands at winner slot n_obs[dst] + (#addable loser obs before j).
+    # A keyframe already observing the winner keeps its winner keypoint
+    # and the loser's entry is erased instead (MapPoint::Replace: "if
+    # pKF already observes pMP, just erase this observation").
+    lo_kf = state.mp_obs_kf[src_safe]  # (C,P)
+    lo_idx = state.mp_obs_idx[src_safe]
+    lv = (lo_kf >= 0) & ok[:, None]
+    win_kf = state.mp_obs_kf[dst_safe]  # (C,P)
+    dup_obs = jnp.any(
+        lo_kf[:, :, None]
+        == jnp.where(win_kf >= 0, win_kf, -2)[:, None, :],
+        axis=-1,
+    )
+    lv_add = lv & ~dup_obs
+    base = state.mp_n_obs[dst_safe]  # (C,)
+    off = jnp.cumsum(lv_add.astype(jnp.int32), axis=1) - 1
+    slot = base[:, None] + off
+    can = lv_add & (slot >= 0) & (slot < P)
+    w_row = jnp.where(can, dst_safe[:, None], M)  # drop-route overflow
+    s_col = jnp.clip(slot, 0, P - 1)
+    obs_kf = state.mp_obs_kf.at[w_row, s_col].set(lo_kf, mode="drop")
+    obs_idx = state.mp_obs_idx.at[w_row, s_col].set(lo_idx, mode="drop")
+    n_obs = state.mp_n_obs.at[jnp.where(ok, dst_safe, M)].add(
+        jnp.sum(can, axis=1).astype(jnp.int32), mode="drop"
+    )
+    # erase the keyframe-side links of dropped duplicate observations
+    N = state.kf_mp.shape[1]
+    K = state.kf_valid.shape[0]
+    clr_kf = jnp.where(lv & dup_obs, lo_kf, K)
+    kf_mp = kf_mp.at[clr_kf, jnp.clip(lo_idx, 0, N - 1)].set(
+        -1, mode="drop"
+    )
+    # clear loser obs rows
+    obs_kf = obs_kf.at[src_safe].set(
+        jnp.where(ok[:, None], -1, obs_kf[src_safe])
+    )
+    obs_idx = obs_idx.at[src_safe].set(
+        jnp.where(ok[:, None], -1, obs_idx[src_safe])
+    )
+    n_obs = n_obs.at[src_safe].set(jnp.where(ok, 0, n_obs[src_safe]))
+    return state._replace(
+        kf_mp=kf_mp, mp_valid=mp_valid, mp_obs_kf=obs_kf,
+        mp_obs_idx=obs_idx, mp_n_obs=n_obs,
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def cull_young_points(
     state: MapState,
