@@ -230,6 +230,19 @@ class LoopCloser:
 
     # -- helpers
 
+    def reset_for_new_map(self) -> None:
+        """Fresh place-recognition DB + covisibility graph for a new
+        Atlas map (CreateMapInAtlas side effects, tracking.cpp:3686);
+        the caller parks the previous db/covis with the stored map."""
+        from vi_slam_tpu.native import CovisGraph
+
+        self.db = kfdb.KeyFrameDatabase(
+            self.cfg.map.max_keyframes, self.vocab.n_words, n_cand=16
+        )
+        self.covis = CovisGraph(self.cfg.map.max_keyframes)
+        self.loop_edges = []
+        self.last_closed_kf = -(10**9)
+
     def _bow_of(self, state: MapState, slot: int) -> jnp.ndarray:
         return _kf_bow(
             state,

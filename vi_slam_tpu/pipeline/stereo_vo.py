@@ -115,6 +115,7 @@ class FrameRecord:
     ref_kf: int
     T_rel: np.ndarray  # (4,4) Tcw_frame @ Twc_refkf
     state: str
+    map_id: int = 0  # Atlas map this frame tracked in (atlas.h mnId)
 
 
 @dataclass
@@ -215,6 +216,15 @@ class StereoVO:
         # ActivateLocalizationMode equivalent (system.h:92-255): tracking
         # without mapping
         self.localization_only = False
+
+        # Atlas multi-map state (atlas.cpp:45): parked maps + active id
+        self.atlas_stored: list = []
+        self.active_map_id = 0
+        self._next_map_id = 0
+        self._fork_pending = False
+        self._merge_guard = False
+        self._merge_key = jax.random.PRNGKey(23)
+        self._last_ts: Optional[float] = None
 
         # optional loop closing (LoopClosing thread equivalent), enabled by
         # providing a vocabulary
@@ -568,6 +578,7 @@ class StereoVO:
 
         Pipelined: returns the stats of the newest FINALIZED frame (host
         decisions lag `pipeline_depth` frames behind dispatch)."""
+        self._pre_frame(timestamp)
         imgs = self._upload_images(img_left, img_right)
         if self.state == NOT_INITIALIZED:
             self.flush()
@@ -626,6 +637,7 @@ class StereoVO:
 
     def process_oracle(self, xy, uright, depth, desc, level, timestamp: float) -> TrackStats:
         """Oracle-feature path (tests/benchmarks without the image frontend)."""
+        self._pre_frame(timestamp)
         feats, ur, dp = make_oracle_features(
             self.cfg.extractor.n_features, xy, uright, depth, desc, level
         )
@@ -796,6 +808,14 @@ class StereoVO:
             > self.cfg.tracker.recently_lost_sec
         ):
             self.state = LOST
+        elif self.state == LOST and self._atlas_ready() and (
+            job.timestamp - self._lost_since
+            > self.cfg.tracker.recently_lost_sec
+            + self.cfg.tracker.atlas_lost_sec
+        ):
+            # relocalization has had its chance; park this map and start
+            # fresh at the next frame (CreateMapInAtlas, tracking.cpp:3686)
+            self._fork_pending = True
         self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
                      self.state)
         st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
@@ -815,6 +835,8 @@ class StereoVO:
         if self.loop_closer is not None:
             with self.timer.stage("loop_closing"):
                 self._loop_closing()
+            if self.atlas_stored and self.n_kf >= 3:
+                self._try_merge_maps()
         self._ref_kf_tracked = n_in
 
     # ------------------------------------------------------------- helpers
@@ -921,6 +943,7 @@ class StereoVO:
         the depth map yields a synthetic right coordinate
         u_right = u - bf / z per keypoint, after which the stereo tracking
         core applies unchanged (Frame RGBD ctor, frame.cpp)."""
+        self._pre_frame(timestamp)
         img = jnp.asarray(img, jnp.float32)
         depth_img = jnp.asarray(depth_img, jnp.float32)
         feats, uright, depth = self._rgbd_frame_fn(img, depth_img)
@@ -1035,13 +1058,227 @@ class StereoVO:
         # velocity is stale across a correction; reset motion model
         self.vel_dev = SE3.identity()
 
+    # ------------------------------------------------------ Atlas multi-map
+
+    def _pre_frame(self, timestamp: float):
+        """Per-frame entry checks: pending map fork (CreateMapInAtlas)
+        and timestamp sanity (tracking.cpp:1681-1715: a backwards or
+        too-large forward jump abandons the current tracking thread
+        state — here: fork a fresh map, or hard-reset without atlas)."""
+        if self._last_ts is not None and self.state != NOT_INITIALIZED:
+            dt = timestamp - self._last_ts
+            if dt < 0 or dt > self.cfg.tracker.max_timestamp_jump_sec:
+                if self._atlas_ready():
+                    self._fork_pending = True
+                else:
+                    self.reset()
+        self._last_ts = timestamp
+        if self._fork_pending:
+            self.flush()
+            if self._fork_pending:
+                self._create_map_in_atlas()
+
+    def _atlas_ready(self) -> bool:
+        return (
+            self.cfg.tracker.atlas_enabled
+            and self.loop_closer is not None
+            and self.n_kf >= 5
+        )
+
+    def reset(self):
+        """System::Reset (system.cpp:542 / Tracking::Reset
+        tracking.cpp:3686 branch without atlas): drop all maps and
+        records, return to NOT_INITIALIZED."""
+        self.flush()
+        m = self.cfg.map
+        self.map = map_state.allocate(
+            m.max_keyframes, self.cfg.extractor.n_features, m.max_points,
+            m.max_obs_per_point,
+        )
+        self.n_kf = 0
+        self.n_mp = 0
+        self.ref_kf = -1
+        self.culled_parent = {}
+        self.records = []
+        self.stats = []
+        self.atlas_stored = []
+        self.active_map_id = 0
+        self._next_map_id = 0
+        self._fork_pending = False
+        self.state = NOT_INITIALIZED
+        self.frames_since_kf = 0
+        self.frame_id = -1
+        self._ref_kf_tracked = 0
+        self.T_dev = SE3.identity()
+        self.vel_dev = SE3.identity()
+        self.T_np = np.eye(4)
+        self.ref_pose_np = np.eye(4)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        self.carry_dev = jnp.zeros((2,), jnp.int32)
+        self._last_ts = None
+        if self.loop_closer is not None:
+            self.loop_closer.reset_for_new_map()
+
+    def _create_map_in_atlas(self):
+        """CreateMapInAtlas (tracking.cpp:3686, atlas.cpp:45): park the
+        active map with its place-recognition DB and covisibility graph,
+        then reinitialize tracking into a fresh map. The merge detector
+        (`_try_merge_maps`) may later weld the maps back together."""
+        from vi_slam_tpu.slam_map import atlas as atlas_mod
+
+        self._fork_pending = False
+        lc = self.loop_closer
+        self.atlas_stored.append(
+            atlas_mod.StoredMap(
+                map=self.map, n_kf=self.n_kf, n_mp=self.n_mp,
+                map_id=self.active_map_id,
+                db=lc.db if lc else None,
+                covis=lc.covis if lc else None,
+                loop_edges=list(lc.loop_edges) if lc else [],
+                culled_parent=dict(self.culled_parent),
+            )
+        )
+        m = self.cfg.map
+        self.map = map_state.allocate(
+            m.max_keyframes, self.cfg.extractor.n_features, m.max_points,
+            m.max_obs_per_point,
+        )
+        self.n_kf = 0
+        self.n_mp = 0
+        self.ref_kf = -1
+        self.culled_parent = {}
+        self.state = NOT_INITIALIZED
+        self._next_map_id += 1
+        self.active_map_id = self._next_map_id
+        self.frames_since_kf = 0
+        self._ref_kf_tracked = 0
+        self.T_dev = SE3.identity()
+        self.vel_dev = SE3.identity()
+        self.T_np = np.eye(4)
+        self.ref_pose_np = np.eye(4)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        self.carry_dev = jnp.zeros((2,), jnp.int32)
+        if lc is not None:
+            lc.reset_for_new_map()
+
+    def _try_merge_maps(self) -> bool:
+        """Cross-map common-region detection at keyframe rate
+        (LoopClosing::NewDetectCommonRegions across Atlas maps,
+        loopclosing.cpp:302): query each stored map's place-recognition
+        DB with the new KF's BoW; on a Sim3-verified hit, weld
+        (MergeLocal, loopclosing.cpp:1021)."""
+        if self._merge_guard:
+            return False
+        from vi_slam_tpu.slam_map import atlas as atlas_mod
+
+        lc = self.loop_closer
+        cur = self.ref_kf
+        bow = lc._bow_of(self.map, cur)
+        self._merge_guard = True
+        try:
+            for si, sm in enumerate(self.atlas_stored):
+                if sm.db is None:
+                    continue
+                cands = sm.db.detect_reloc_candidates(sm.map, bow)
+                for cand in cands.tolist()[:3]:
+                    self._merge_key, sub = jax.random.split(self._merge_key)
+                    ok, S_cl, pairs = atlas_mod.verify_merge(
+                        self.cam, self.map, cur, sm.map, int(cand), sub,
+                        min_inliers=20, th=self.cfg.matcher.th_low,
+                        fix_scale=True,
+                    )
+                    if ok and self._do_merge(si, cur, int(cand), S_cl, pairs):
+                        return True
+        finally:
+            self._merge_guard = False
+        return False
+
+    def _do_merge(self, si: int, cur: int, cand: int, S_cl, pairs) -> bool:
+        """MergeLocal (loopclosing.cpp:1021): transform the active map
+        into the stored map's frame with the verified Sim3 weld, append
+        its keyframes/points (constant-offset relabeling), fuse seam
+        duplicates, run whole-map BA (MergeBundleAdjustmentVisual
+        capability, optimizer.cpp:5030), and rewrite host bookkeeping."""
+        from vi_slam_tpu.slam_map import atlas as atlas_mod
+
+        sm = self.atlas_stored[si]
+        K = self.map.kf_R.shape[0]
+        M = self.map.mp_pos.shape[0]
+        if sm.n_kf + self.n_kf > K - 1 or sm.n_mp + self.n_mp > M - 2:
+            return False  # merged map would overflow capacity
+        self.flush()  # drain in-flight frames of the pre-merge map
+        kf_off, mp_off = sm.n_kf, sm.n_mp
+
+        T_cur = SE3(self.map.kf_R[cur], self.map.kf_t[cur])
+        T_cand = SE3(sm.map.kf_R[cand], sm.map.kf_t[cand])
+        S = atlas_mod.weld_transform(
+            S_cl, T_cur, T_cand, dtype=self.map.kf_t.dtype
+        )
+        merged = atlas_mod.merge_into(
+            sm.map, self.map, S, jnp.int32(kf_off), jnp.int32(mp_off)
+        )
+        # seam fusion: active-map duplicates lose to stored-map points
+        # (MergeLocal SearchAndFuse direction, loopclosing.cpp:1412)
+        mp_cur, mp_old, fvalid = pairs
+        src = jnp.where(mp_cur >= 0, mp_cur + mp_off, -1)
+        merged = map_state.fuse_points(merged, src, mp_old, fvalid)
+        # welding bundle adjustment over the merged map
+        prob = steps.gather_global_ba_problem(self.cam, merged)
+        gres = ba.bundle_adjust(
+            self.cam, prob, iters=self.cfg.ba.gba_iters, assembly="scatter"
+        )
+        merged = steps.scatter_global_ba_result(
+            merged, gres.poses, gres.points
+        )
+
+        # host bookkeeping: relabel records/culls of the active map
+        old_id = self.active_map_id
+        for i, rec in enumerate(self.records):
+            if rec.map_id == old_id:
+                self.records[i] = FrameRecord(
+                    rec.frame_id, rec.timestamp,
+                    rec.ref_kf + kf_off if rec.ref_kf >= 0 else rec.ref_kf,
+                    rec.T_rel, rec.state, sm.map_id,
+                )
+        new_culled = dict(sm.culled_parent)
+        for k, (p, T) in self.culled_parent.items():
+            new_culled[k + kf_off] = (p + kf_off, T)
+        self.culled_parent = new_culled
+        self.map = merged
+        self.n_kf = kf_off + self.n_kf
+        self.n_mp = mp_off + self.n_mp
+        self.ref_kf = self.ref_kf + kf_off
+        self.active_map_id = sm.map_id
+        self.atlas_stored.pop(si)
+
+        # loop closer adopts the stored map's DB/graph and re-registers
+        # the appended keyframes under their new slots
+        lc = self.loop_closer
+        if lc is not None:
+            shifted_edges = [
+                (a + kf_off, b + kf_off) for a, b in lc.loop_edges
+            ]
+            lc.db = sm.db
+            lc.covis = sm.covis
+            lc.loop_edges = sm.loop_edges + shifted_edges
+            lc.last_closed_kf = -(10**9)
+            kf_valid = np.asarray(merged.kf_valid)
+            for s in range(kf_off, self.n_kf):
+                if kf_valid[s]:
+                    lc.add_bow(merged, s)
+                    lc.register_covis(s, np.asarray(merged.kf_mp[s]))
+        # re-anchor the live pose chain on the welded reference KF
+        self._after_loop_correction()
+        return True
+
     def _record(self, job: FrameJob, T_np, ref_pose_np, ref_kf, state):
         if ref_kf >= 0:
             T_rel = T_np @ np.linalg.inv(ref_pose_np)
         else:
             T_rel = T_np.copy()
         self.records.append(
-            FrameRecord(job.frame_id, job.timestamp, ref_kf, T_rel, state)
+            FrameRecord(job.frame_id, job.timestamp, ref_kf, T_rel, state,
+                        self.active_map_id)
         )
 
     # ------------------------------------------------------------- outputs
@@ -1051,16 +1288,30 @@ class StereoVO:
         reference keyframes (SaveTrajectoryKITTI semantics)."""
         self.flush()
         out = []
-        kf_R = np.asarray(self.map.kf_R)
-        kf_t = np.asarray(self.map.kf_t)
+        # per-map keyframe tables: the active map plus any still-parked
+        # Atlas maps (frames of merged maps were relabeled at merge time)
+        tables = {
+            self.active_map_id: (
+                np.asarray(self.map.kf_R), np.asarray(self.map.kf_t),
+                self.culled_parent,
+            )
+        }
+        for sm in self.atlas_stored:
+            tables[sm.map_id] = (
+                np.asarray(sm.map.kf_R), np.asarray(sm.map.kf_t),
+                sm.culled_parent,
+            )
         for rec in self.records:
+            kf_R, kf_t, culled = tables.get(
+                rec.map_id, tables[self.active_map_id]
+            )
             if rec.ref_kf >= 0:
                 # walk past culled reference KFs (spanning-tree walk,
                 # system.cpp:440-449)
                 ref = rec.ref_kf
                 T_chain = np.eye(4)
-                while ref in self.culled_parent:
-                    parent, T_rel = self.culled_parent[ref]
+                while ref in culled:
+                    parent, T_rel = culled[ref]
                     T_chain = T_chain @ T_rel
                     ref = parent
                 T_ref = np.eye(4)

@@ -92,6 +92,15 @@ class TrackerConfig:
     # transfers the gets themselves pipeline and the RTT disappears
     # (measured: depth-1 = 67 ms/frame host_pull, depth-3 = ~7 ms).
     pipeline_depth: int = 3
+    # Atlas multi-map (atlas.cpp:45 CreateNewMap, tracking.cpp:3686
+    # CreateMapInAtlas): after a map has been LOST this long past the
+    # recently-lost grace with relocalization failing, park it and start
+    # a fresh map; the merge detector may weld them back (MergeLocal).
+    atlas_enabled: bool = True
+    atlas_lost_sec: float = 0.5
+    # timestamp sanity (tracking.cpp:1681-1715): a backwards or larger
+    # forward jump than this forks a new map (or resets, without atlas)
+    max_timestamp_jump_sec: float = 3.0
 
 
 @dataclass(frozen=True)
