@@ -131,13 +131,25 @@ class OrbExtractor:
             budget = self.budgets[l]
             if budget <= 0:
                 continue
-            xy, score, valid = fast_ops.detect_level(
-                img,
-                cell=cfg.cell_size,
-                top_k=budget,
-                threshold=cfg.fast_threshold,
-                min_threshold=cfg.fast_min_threshold,
-            )
+            if cfg.use_pallas_fast:
+                # fused VMEM kernel: one image read, one response write
+                # (vilib fast_gpu equivalent; see ops/fast_pallas.py)
+                from vi_slam_tpu.ops import fast_pallas
+
+                pref = fast_pallas.fast_resp_pref(
+                    img, cfg.fast_threshold, cfg.fast_min_threshold
+                )
+                xy, score, valid = fast_ops.select_keypoints(
+                    pref, cfg.cell_size, budget
+                )
+            else:
+                xy, score, valid = fast_ops.detect_level(
+                    img,
+                    cell=cfg.cell_size,
+                    top_k=budget,
+                    threshold=cfg.fast_threshold,
+                    min_threshold=cfg.fast_min_threshold,
+                )
             # keypoints too close to the border can't support the descriptor
             # patch; drop them (reference uses EDGE_THRESHOLD=19 margins)
             h, w = img.shape

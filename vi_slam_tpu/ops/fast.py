@@ -132,6 +132,44 @@ def cell_max(response: jnp.ndarray, cell: int) -> Tuple[jnp.ndarray, jnp.ndarray
     return score, x.astype(jnp.int32), y.astype(jnp.int32)
 
 
+def resp_pref(
+    image: jnp.ndarray, threshold: float, min_threshold: float
+) -> jnp.ndarray:
+    """NMS'd low-threshold response with a +1e4 bonus where the pixel also
+    clears the high threshold (the per-cell fallback preference signal;
+    fextractor.cpp:800-805 two-threshold semantics). The Pallas twin
+    (`ops/fast_pallas.fast_resp_pref`) computes the same map in one fused
+    VMEM pass."""
+    h, w = image.shape
+    d = _circle_diffs(image)
+    interior = _interior_mask(h, w)
+    resp_low = jnp.where(interior, _response_from_diffs(d, min_threshold), 0.0)
+    resp_high = jnp.where(interior, _response_from_diffs(d, threshold), 0.0)
+    resp = nms3x3(resp_low)
+    # Prefer winners that clear the high threshold: +1e4 bonus dominates the
+    # per-cell argmax, so a cell falls back to its low-threshold winner only
+    # when no pixel in it passes the high threshold.
+    return jnp.where((resp > 0.0) & (resp_high > 0.0), resp + 1e4, resp)
+
+
+def select_keypoints(
+    pref: jnp.ndarray, cell: int, top_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-cell winner + global top-K selection from a preference map.
+
+    Returns (xy (K, 2) float32 level coords, score (K,), valid (K,) bool).
+    """
+    score, x, y = cell_max(pref, cell)
+    k = min(top_k, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    valid = top_scores > 0.0
+    xy = jnp.stack(
+        [x[top_idx].astype(jnp.float32), y[top_idx].astype(jnp.float32)], axis=-1
+    )
+    true_score = jnp.where(top_scores >= 1e4, top_scores - 1e4, top_scores)
+    return xy, true_score, valid
+
+
 @partial(jax.jit, static_argnames=("cell", "top_k", "threshold", "min_threshold"))
 def detect_level(
     image: jnp.ndarray,
@@ -149,22 +187,6 @@ def detect_level(
 
     Returns (xy (K, 2) float32 level coords, score (K,), valid (K,) bool).
     """
-    h, w = image.shape
-    d = _circle_diffs(image)
-    interior = _interior_mask(h, w)
-    resp_low = jnp.where(interior, _response_from_diffs(d, min_threshold), 0.0)
-    resp_high = jnp.where(interior, _response_from_diffs(d, threshold), 0.0)
-    resp = nms3x3(resp_low)
-    # Prefer winners that clear the high threshold: +1e4 bonus dominates the
-    # per-cell argmax, so a cell falls back to its low-threshold winner only
-    # when no pixel in it passes the high threshold.
-    resp_pref = jnp.where((resp > 0.0) & (resp_high > 0.0), resp + 1e4, resp)
-    score, x, y = cell_max(resp_pref, cell)
-    k = min(top_k, score.shape[0])
-    top_scores, top_idx = jax.lax.top_k(score, k)
-    valid = top_scores > 0.0
-    xy = jnp.stack(
-        [x[top_idx].astype(jnp.float32), y[top_idx].astype(jnp.float32)], axis=-1
+    return select_keypoints(
+        resp_pref(image, threshold, min_threshold), cell, top_k
     )
-    true_score = jnp.where(top_scores >= 1e4, top_scores - 1e4, top_scores)
-    return xy, true_score, valid

@@ -174,7 +174,7 @@ def fast_resp_pref(
     out = pl.pallas_call(
         kern,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((strip, wp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_strips * strip, wp), jnp.float32),
         scratch_shapes=[

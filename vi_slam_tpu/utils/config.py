@@ -58,6 +58,10 @@ class ExtractorConfig:
     cell_size: int = 32  # vilib grid-NMS cell (fast_cuda.cpp:88-99)
     # cap on per-level candidate corners entering top-K selection
     max_candidates_per_level: int = 4096
+    # use the fused Pallas FAST kernel (ops/fast_pallas.py) instead of the
+    # XLA path for the response map — TPU only (interpret mode on CPU is
+    # for tests); equivalence verified by tests/test_frontend.py
+    use_pallas_fast: bool = False
 
 
 @dataclass(frozen=True)
