@@ -57,6 +57,54 @@ def result_specs(axis: str) -> BAResult:
     )
 
 
+def make_synthetic_problem(
+    K: int, M: int, P_obs: int, seed: int = 0, noise: float = 0.05
+) -> "BAProblem":
+    """Realistic-shape synthetic global-BA problem (K cameras on a smooth
+    trajectory, M landmarks, P_obs observations each) for scaling tests
+    and benchmarks (SURVEY §2.4.3 efficiency-evidence contract)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vi_slam_tpu.lie import se3
+
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [
+            rng.uniform(-30, 30, M),
+            rng.uniform(-10, 10, M),
+            rng.uniform(5, 60, M),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    xis = np.asarray(
+        [[0.02 * k, 0.001 * k, 0, 0, 0.002 * k, 0.001 * k] for k in range(K)],
+        np.float32,
+    )
+    poses = se3.exp(jnp.asarray(xis))
+    obs_cam = rng.integers(0, K, (M, P_obs)).astype(np.int32)
+    Rk = np.asarray(poses.R)[obs_cam]
+    tk = np.asarray(poses.t)[obs_cam]
+    pc = np.einsum("mpij,mj->mpi", Rk, pts) + tk
+    z = np.maximum(pc[..., 2], 0.1)
+    u = 500.0 * pc[..., 0] / z + 320.0
+    v = 500.0 * pc[..., 1] / z + 240.0
+    ur = u - 50.0 / z
+    uvr = np.stack([u, v, ur], axis=-1).astype(np.float32)
+    return BAProblem(
+        poses=poses,
+        fixed=jnp.zeros((K,), bool).at[0].set(True),
+        points=jnp.asarray(
+            pts + rng.normal(0, noise, pts.shape).astype(np.float32)
+        ),
+        point_valid=jnp.ones((M,), bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uvr=jnp.asarray(uvr),
+        obs_stereo=jnp.ones((M, P_obs), bool),
+        obs_sigma2=jnp.ones((M, P_obs), jnp.float32),
+        obs_mask=jnp.asarray(pc[..., 2] > 0.5),
+    )
+
+
 def dist_bundle_adjust(
     cam: CameraParams,
     prob: BAProblem,
