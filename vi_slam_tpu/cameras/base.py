@@ -36,13 +36,13 @@ class CameraParams(NamedTuple):
     dist: jnp.ndarray  # (5,)
     bf: jnp.ndarray
 
-    @staticmethod
-    def make(fx, fy, cx, cy, dist=(0.0, 0.0, 0.0, 0.0, 0.0), bf=0.0,
+    @classmethod
+    def make(cls, fx, fy, cx, cy, dist=(0.0, 0.0, 0.0, 0.0, 0.0), bf=0.0,
              dtype=jnp.float32) -> "CameraParams":
         d = jnp.zeros((5,), dtype=dtype).at[: len(tuple(dist))].set(
             jnp.asarray(tuple(dist), dtype=dtype)
         )
-        return CameraParams(
+        return cls(
             fx=jnp.asarray(fx, dtype),
             fy=jnp.asarray(fy, dtype),
             cx=jnp.asarray(cx, dtype),
@@ -67,3 +67,14 @@ class CameraParams(NamedTuple):
     @property
     def baseline(self) -> jnp.ndarray:
         return self.bf / self.fx
+
+
+class KB8Params(CameraParams):
+    """Kannala-Brandt-8 fisheye intrinsics (dist = [k1, k2, k3, k4, 0]).
+
+    The concrete pytree TYPE is the model switch (the reference's virtual
+    `Camera` dispatch, camera.h:38-111, made static): `cameras.dispatch`
+    picks the kb8 function family via isinstance at trace time, so every
+    jitted kernel specializes to exactly one model — no device branching,
+    and a model change recompiles (treedefs differ).
+    """

@@ -96,3 +96,72 @@ def unproject(cam: CameraParams, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarra
     scale = jnp.where(r_obs < 1e-12, 1.0, jnp.tan(theta) / jnp.maximum(r_obs, 1e-12))
     # bearing with z = 1
     return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+
+
+def stereo_project(cam: CameraParams, xyz: jnp.ndarray) -> jnp.ndarray:
+    """(u_L, v_L, u_R) with the pseudo-disparity convention
+    u_R = u_L - bf / z: fisheye-stereo depth enters the pipeline through
+    `triangulate_matches` (the reference's KannalaBrandt8::TriangulateMatches
+    path, kannalabrandt8.h:87), after which the synthetic right coordinate
+    makes the stereo BA edge and KF creation identical to the rectified
+    pipeline (the same trick the RGBD path uses, frame.cpp RGBD ctor)."""
+    uv = project(cam, xyz)
+    z = xyz[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    ur = uv[..., 0] - cam.bf * inv_z
+    return jnp.concatenate([uv, ur[..., None]], axis=-1)
+
+
+def stereo_project_jac(cam: CameraParams, xyz: jnp.ndarray) -> jnp.ndarray:
+    """d(u_L, v_L, u_R)/d(xyz) (..., 3, 3)."""
+    J2 = project_jac(cam, xyz)
+    x, z = xyz[..., 0], xyz[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(x)
+    row_ur = J2[..., 0, :] + jnp.stack(
+        [zeros, zeros, cam.bf * inv_z2], axis=-1
+    )
+    return jnp.concatenate([J2, row_ur[..., None, :]], axis=-2)
+
+
+def triangulate_matches(
+    cam: CameraParams,
+    uv_left: jnp.ndarray,
+    uv_right: jnp.ndarray,
+    baseline: jnp.ndarray,
+    min_parallax_cos: float = 0.9998,
+) -> jnp.ndarray:
+    """Fisheye-stereo two-ray triangulation (TriangulateMatches,
+    kannalabrandt8.cpp / kannalabrandt8.h:87): unproject both pixels to
+    bearings, intersect the rays of a laterally displaced rig (right
+    camera at +baseline along x, identity rotation — the lapping-area rig
+    after rectification-free calibration), and return the left-camera
+    depth z (-1 where the rays are near-parallel or behind the rig).
+
+    uv_left/uv_right: (..., 2). Returns (...,) float32 depth.
+    """
+    bL = unproject(cam, uv_left)
+    bR = unproject(cam, uv_right)
+    bL = bL / jnp.linalg.norm(bL, axis=-1, keepdims=True)
+    bR = bR / jnp.linalg.norm(bR, axis=-1, keepdims=True)
+    # parallax gate (reference: cosParallaxRays check)
+    cosp = jnp.sum(bL * bR, axis=-1)
+    # midpoint method: p = s*bL ; p - t = r*bR with t = (baseline, 0, 0)
+    t = jnp.stack(
+        [baseline, jnp.zeros_like(baseline), jnp.zeros_like(baseline)],
+        axis=-1,
+    )
+    b11 = jnp.sum(bL * bL, axis=-1)
+    b12 = -jnp.sum(bL * bR, axis=-1)
+    b22 = jnp.sum(bR * bR, axis=-1)
+    c1 = jnp.sum(t * bL, axis=-1)
+    c2 = -jnp.sum(t * bR, axis=-1)
+    det = b11 * b22 - b12 * b12
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    s = (c1 * b22 - c2 * b12) / det
+    r = (b11 * c2 - b12 * c1) / det
+    mid = 0.5 * (s[..., None] * bL + (t + r[..., None] * bR))
+    z = mid[..., 2]
+    ok = (s > 0) & (r > 0) & (z > 0) & (cosp < min_parallax_cos)
+    return jnp.where(ok, z, -1.0)

@@ -360,3 +360,54 @@ def make_inertial_world(
         world=world, imu_per_frame=imu_per_frame, vel_w=vels,
         gravity_w=g_w, bias_gyro=bg, bias_acc=ba, timestamps=t_frames,
     )
+
+
+def render_oracle_frame_fisheye(
+    world: LandmarkWorld,
+    frame_idx: int,
+    cam,  # KB8Params
+    bf: float,
+    width: int,
+    height: int,
+    max_features: int = 1200,
+    px_noise: float = 0.3,
+    desc_noise_bits: int = 8,
+    seed: int = 100,
+) -> OracleFrame:
+    """Oracle observations through a Kannala-Brandt fisheye: projections
+    via kb8.project, depth = camera z, and the pseudo-disparity right
+    coordinate u_r = u - bf/z that the KB8 stereo pipeline uses after
+    TriangulateMatches (kannalabrandt8.h:87 rig semantics)."""
+    import jax.numpy as jnp
+
+    from vi_slam_tpu.cameras import kb8 as kb8_mod
+
+    rng = np.random.default_rng(seed + frame_idx)
+    Twc = world.poses_wc[frame_idx]
+    Rcw = Twc[:3, :3].T
+    tcw = -Rcw @ Twc[:3, 3]
+    pc = (Rcw @ world.points.T).T + tcw
+    z = pc[:, 2]
+    uv = np.asarray(kb8_mod.project(cam, jnp.asarray(pc, jnp.float32)))
+    u, v = uv[:, 0], uv[:, 1]
+    ur = u - bf / np.maximum(z, 1e-6)
+    vis = (
+        (z > 1.0) & (z < 60.0)
+        & (u >= 5) & (u < width - 5) & (v >= 5) & (v < height - 5)
+    )
+    ids = np.where(vis)[0]
+    if ids.shape[0] > max_features:
+        ids = np.sort(ids)[:max_features]
+    u = u[ids] + rng.normal(0, px_noise, ids.shape[0])
+    v = v[ids] + rng.normal(0, px_noise, ids.shape[0])
+    ur = ur[ids] + rng.normal(0, px_noise, ids.shape[0])
+    desc = flip_descriptor_bits(world.desc[ids], desc_noise_bits, rng)
+    level = np.clip((45.0 / np.maximum(z[ids], 2.0)).astype(int) // 4, 0, 7)
+    return OracleFrame(
+        xy=np.stack([u, v], axis=-1),
+        uright=ur,
+        depth=z[ids],
+        desc=desc,
+        landmark_id=ids,
+        level=level.astype(np.int32),
+    )

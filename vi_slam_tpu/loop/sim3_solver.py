@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.lie.sim3 import Sim3
 
 
@@ -69,7 +69,7 @@ def _reproj_sq_err(
     cam: CameraParams, x_cam: jnp.ndarray, uv: jnp.ndarray
 ) -> jnp.ndarray:
     """Squared pixel error of camera-frame points vs measurements (N,2)."""
-    pred = pinhole.project(cam, x_cam)
+    pred = camlib.project(cam, x_cam)
     behind = x_cam[..., 2] <= 0.1
     err = jnp.sum((pred - uv) ** 2, axis=-1)
     return jnp.where(behind, 1e12, err)

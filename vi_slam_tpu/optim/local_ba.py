@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.lie import se3, so3
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.optim import robust
@@ -78,9 +78,9 @@ def _residuals(cam: CameraParams, poses: SE3, points: jnp.ndarray, prob: BAProbl
     Rk = poses.R[prob.obs_cam]  # (M,P,3,3)
     tk = poses.t[prob.obs_cam]  # (M,P,3)
     pc = jnp.einsum("mpij,mj->mpi", Rk, points) + tk
-    pred = pinhole.stereo_project(cam, pc)
+    pred = camlib.stereo_project(cam, pc)
     r = pred - prob.obs_uvr
-    Jpc = pinhole.stereo_project_jac(cam, pc)  # (M,P,3,3)
+    Jpc = camlib.stereo_project_jac(cam, pc)  # (M,P,3,3)
     I = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (*pc.shape[:-1], 3, 3))
     Jxi = jnp.concatenate([I, -so3.hat(pc)], axis=-1)  # (M,P,3,6)
     J_cam = Jpc @ Jxi

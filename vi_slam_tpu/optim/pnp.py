@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.lie import so3
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.utils.precision import precise
@@ -103,7 +103,7 @@ def pnp_ransac(
 
     def count(Th: SE3):
         pc = Th.apply(xw)
-        pred = pinhole.project(cam, pc)
+        pred = camlib.project(cam, pc)
         e2 = jnp.sum((pred - uv) ** 2, axis=-1) / jnp.maximum(sigma2, 1e-9)
         inl = valid & (pc[..., 2] > 0.05) & (e2 < chi2_th)
         return inl

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.lie import se3, so3
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.optim import robust
@@ -49,9 +49,9 @@ def _residual_jac(cam: CameraParams, T: SE3, obs: PoseObs):
     """Residuals (N,3), Jacobians wrt left-perturbation tangent (N,3,6),
     and per-row masks (N,3)."""
     pc = T.apply(obs.xw)
-    pred = pinhole.stereo_project(cam, pc)
+    pred = camlib.stereo_project(cam, pc)
     r = pred - obs.uvr
-    Jpc = pinhole.stereo_project_jac(cam, pc)  # (N,3,3)
+    Jpc = camlib.stereo_project_jac(cam, pc)  # (N,3,3)
     # d pc / d xi = [I | -hat(pc)] for T' = exp(xi) T
     I = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (*pc.shape[:-1], 3, 3))
     Jxi = jnp.concatenate([I, -so3.hat(pc)], axis=-1)  # (N,3,6)

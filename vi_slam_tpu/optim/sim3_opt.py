@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.lie import sim3 as sim3_m
 from vi_slam_tpu.lie.sim3 import Sim3
 from vi_slam_tpu.utils.precision import precise
@@ -43,8 +43,8 @@ def _residuals(
     uv2: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward and inverse reprojection residuals, each (N, 2)."""
-    r1 = pinhole.project(cam1, S12.apply(x2)) - uv1
-    r2 = pinhole.project(cam2, S12.inverse().apply(x1)) - uv2
+    r1 = camlib.project(cam1, S12.apply(x2)) - uv1
+    r2 = camlib.project(cam2, S12.inverse().apply(x1)) - uv2
     return r1, r2
 
 

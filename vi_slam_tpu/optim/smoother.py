@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.imu import preintegration as pre
 from vi_slam_tpu.lie import se3, so3
 from vi_slam_tpu.lie.se3 import SE3
@@ -134,7 +134,7 @@ def _build_system(
         def res(xi):
             Tk = se3.retract_left(T, xi)
             pc = Tk.apply(win.vis_xw[k])
-            pred = pinhole.project(cam, pc)
+            pred = camlib.project(cam, pc)
             r = (pred - win.vis_uv[k]) * jnp.sqrt(
                 win.vis_valid[k] / jnp.maximum(win.vis_sigma2[k], 1e-9)
             )[:, None]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vi_slam_tpu.cameras.base import CameraParams
-from vi_slam_tpu.cameras import pinhole
+from vi_slam_tpu.cameras import dispatch as camlib
 from vi_slam_tpu.features.extractor import Features
 from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.ops import match as match_ops
@@ -108,7 +108,7 @@ def project_local_points(
 
     pc = T_cw.apply(pos)
     z = pc[..., 2]
-    uv = pinhole.project(cam, pc)
+    uv = camlib.project(cam, pc)
     in_img = (
         (uv[..., 0] >= 0)
         & (uv[..., 0] < width)
@@ -309,7 +309,7 @@ def fuse_pair_dir(
     Tb = SE3(state.kf_R[kf_b], state.kf_t[kf_b])
     pc = Tb.apply(pos)
     z = pc[..., 2]
-    uv = pinhole.project(cam, pc)
+    uv = camlib.project(cam, pc)
     in_img = (
         (uv[..., 0] >= 0) & (uv[..., 0] < width)
         & (uv[..., 1] >= 0) & (uv[..., 1] < height) & (z > 0.1)
@@ -536,25 +536,14 @@ def match_and_triangulate(
     mutual = i_best_of_j[j_best] == jnp.arange(N)
     good = (d_best < th_low) & (d_best < ratio * d_second) & mutual & free_new
 
-    # triangulate
+    # triangulate from model-dispatched bearings (pinhole OR KB8; the
+    # epipolar F gate above stays linear — approximate off-center for
+    # fisheye, with the dispatched reprojection gates below as the
+    # correctness backstop)
     kp_ref_idx = j_best.astype(jnp.int32)
-    b_new = jnp.concatenate(
-        [
-            (uv_new - jnp.asarray([cam.cx, cam.cy], uv_new.dtype))
-            / jnp.asarray([cam.fx, cam.fy], uv_new.dtype),
-            jnp.ones((N, 1), uv_new.dtype),
-        ],
-        axis=-1,
-    )
+    b_new = camlib.unproject(cam, uv_new)
     uv_r = uv_ref[kp_ref_idx]
-    b_ref = jnp.concatenate(
-        [
-            (uv_r - jnp.asarray([cam.cx, cam.cy], uv_r.dtype))
-            / jnp.asarray([cam.fx, cam.fy], uv_r.dtype),
-            jnp.ones((N, 1), uv_r.dtype),
-        ],
-        axis=-1,
-    )
+    b_ref = camlib.unproject(cam, uv_r)
     xw = triangulate_dlt(T_new, T_ref, b_new, b_ref)
     pc_new = T_new.apply(xw)
     pc_ref = T_ref.apply(xw)
@@ -571,8 +560,8 @@ def match_and_triangulate(
 
     # reprojection gates (5.991 * sigma2, CreateNewMapPoints)
     sig2_new = scale_factor ** (2.0 * state.kf_level[kf_new].astype(jnp.float32))
-    pr_new = pinhole.project(cam, pc_new)
-    pr_ref = pinhole.project(cam, pc_ref)
+    pr_new = camlib.project(cam, pc_new)
+    pr_ref = camlib.project(cam, pc_ref)
     e_new = jnp.sum((pr_new - uv_new) ** 2, axis=-1)
     e_ref = jnp.sum((pr_ref - uv_r) ** 2, axis=-1)
     good = (

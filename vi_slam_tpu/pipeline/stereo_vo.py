@@ -44,7 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vi_slam_tpu.cameras.base import CameraParams
+from vi_slam_tpu.cameras import dispatch as camlib
+from vi_slam_tpu.cameras.base import CameraParams, KB8Params
 from vi_slam_tpu.features.extractor import Features, OrbExtractor
 from vi_slam_tpu.lie import se3
 from vi_slam_tpu.lie.se3 import SE3
@@ -164,7 +165,10 @@ class StereoVO:
     ):
         self.cfg = cfg
         c = cfg.camera
-        self.cam = CameraParams.make(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
+        # the concrete params TYPE selects the camera model in every
+        # jitted kernel (cameras/dispatch.py; camera.h:38-111 equivalent)
+        cam_cls = KB8Params if c.model == "kb8" else CameraParams
+        self.cam = cam_cls.make(c.fx, c.fy, c.cx, c.cy, dist=c.dist, bf=c.bf)
         self.baseline = c.bf / c.fx
         self.close_depth = cfg.camera.th_depth * self.baseline
         self.extractor = OrbExtractor(cfg.extractor, c.height, c.width)
@@ -441,14 +445,9 @@ class StereoVO:
 
             kp_xy = feats.xy[sel]
             kp_depth = depth[sel]
-            bearing = jnp.stack(
-                [
-                    (kp_xy[:, 0] - cam.cx) / cam.fx,
-                    (kp_xy[:, 1] - cam.cy) / cam.fy,
-                    jnp.ones_like(kp_depth),
-                ],
-                axis=-1,
-            )
+            # model-dispatched unprojection (z=1 bearing x z-depth);
+            # pinhole and KB8 both back-project through cameras/dispatch
+            bearing = camlib.unproject(cam, kp_xy)
             pc = bearing * kp_depth[:, None]
             Twc = T.inverse()
             pw = Twc.apply(pc)
