@@ -41,6 +41,8 @@ parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--max-frames", type=int, default=0)
 parser.add_argument("--viz-every", type=int, default=0,
                     help="write a map snapshot every N keyframes")
+parser.add_argument("--metrics", action="store_true",
+                    help="write per-frame JSONL metrics to OUT/run.jsonl")
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -156,7 +158,14 @@ def main():
             log(f"vocab: {vocab.n_words} words")
 
     timer = StageTimer()
-    vo = StereoVO(cfg, timer=timer, vocab=vocab)
+    metrics = None
+    if args.metrics:
+        from vi_slam_tpu.utils.metrics import MetricsStream
+
+        metrics = MetricsStream(
+            open(os.path.join(args.out, "run.jsonl"), "w"), verbosity=1
+        )
+    vo = StereoVO(cfg, timer=timer, vocab=vocab, metrics=metrics)
     times, t0 = [], time.time()
     timestamps = []
     for i, (imgL, imgR, ts) in enumerate(frames):
@@ -201,6 +210,8 @@ def main():
         ate = evaluation.ate_rmse(est[:, :3, 3],
                                   gt_wc[: len(est), :3, 3])
         report["ate_rmse_m"] = round(float(ate["rmse"]), 4)
+    if metrics is not None:
+        metrics.close()
     log(timer.report())
     log(f"saved: {kitti_path}, {tum_path}, trajectory.png, map.png")
     print(json.dumps(report))

@@ -42,6 +42,7 @@ from vi_slam_tpu.io import evaluation, synthetic  # noqa: E402
 from vi_slam_tpu.pipeline.stereo_vo import StereoVO  # noqa: E402
 from vi_slam_tpu.utils.config import (  # noqa: E402
     BAConfig, CameraConfig, ExtractorConfig, MapConfig, SystemConfig,
+    TrackerConfig,
 )
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
@@ -58,6 +59,11 @@ cfg = SystemConfig(
     extractor=ExtractorConfig(n_features=2000),
     ba=BAConfig(max_local_kfs=8, max_local_points=2048, local_ba_iters=6),
     map=MapConfig(max_keyframes=256, max_points=65536, max_obs_per_point=8),
+    # KF cadence floor: without it the need_close condition fires every
+    # frame on this sequence and the KF-rate mapping/BA/cull chains run
+    # per-frame, tripling device time (KITTI at 10 fps inserts KFs every
+    # 2-4 frames in the reference too)
+    tracker=TrackerConfig(min_frames_between_kf=1),
 )
 
 log(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")

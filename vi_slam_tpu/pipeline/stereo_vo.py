@@ -162,7 +162,13 @@ class StereoVO:
         cfg: SystemConfig,
         timer: Optional[StageTimer] = None,
         vocab=None,
+        metrics=None,
     ):
+        from vi_slam_tpu.utils.metrics import MetricsStream
+
+        # structured per-frame metrics stream (utils/metrics.py); the
+        # default sink-less stream at verbosity 0 is a no-op
+        self.metrics = metrics or MetricsStream(None, verbosity=0)
         self.cfg = cfg
         c = cfg.camera
         # the concrete params TYPE selects the camera model in every
@@ -756,6 +762,11 @@ class StereoVO:
                 self.frames_since_kf = 0
 
         st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, OK
+        self.metrics.frame(
+            frame=job.frame_id, state=OK, inliers=st.n_inliers,
+            matches=st.n_matches, kfs=self.n_kf, mps=self.n_mp,
+            map=self.active_map_id,
+        )
         self.stats.append(st)
         return st
 
@@ -818,6 +829,10 @@ class StereoVO:
         self._record(job, self.T_np, self.ref_pose_np, self.ref_kf,
                      self.state)
         st.n_kfs, st.n_mps, st.state = self.n_kf, self.n_mp, self.state
+        self.metrics.frame(
+            frame=job.frame_id, state=self.state, inliers=st.n_inliers,
+            kfs=self.n_kf, mps=self.n_mp, map=self.active_map_id,
+        )
         self.stats.append(st)
         return st
 
@@ -1031,6 +1046,7 @@ class StereoVO:
             lc.register_covis(slot, np.asarray(row))
             self.map, closed = lc.process(self.map, slot, self.n_kf)
             if closed:
+                self.metrics.event("loop_closed", kf=slot)
                 self._after_loop_correction()
 
     def _after_loop_correction(self):
@@ -1159,6 +1175,8 @@ class StereoVO:
         self.carry_dev = jnp.zeros((2,), jnp.int32)
         if lc is not None:
             lc.reset_for_new_map()
+        self.metrics.event("map_fork", new_map=self.active_map_id,
+                           stored_maps=len(self.atlas_stored))
 
     def _try_merge_maps(self) -> bool:
         """Cross-map common-region detection at keyframe rate
@@ -1268,6 +1286,8 @@ class StereoVO:
                     lc.register_covis(s, np.asarray(merged.kf_mp[s]))
         # re-anchor the live pose chain on the welded reference KF
         self._after_loop_correction()
+        self.metrics.event("map_merge", into_map=self.active_map_id,
+                           kf_offset=kf_off, mp_offset=mp_off)
         return True
 
     def _record(self, job: FrameJob, T_np, ref_pose_np, ref_kf, state):
