@@ -56,8 +56,8 @@ def inertial_world():
     )
 
 
-def run_vio(iw, drop_frames=(), inertial=True):
-    cfg = make_cfg()
+def run_vio(iw, drop_frames=(), inertial=True, cfg=None):
+    cfg = cfg or make_cfg()
     vo = StereoInertialVO(cfg) if inertial else StereoVO(cfg)
     states = []
     for i in range(N_FRAMES):
@@ -183,6 +183,21 @@ class TestPipelinedImagePath:
     keep tracking."""
 
     def test_pipelined_vio_tracks(self):
+        # Pin the production float regime: the conftest enables x64 for
+        # solver-precision tests, but the shipping pipeline runs f32
+        # (bench.py / apps). Under x64, numpy-double constants promote a
+        # few mask computations (level_scales, subpixel SAD) to f64,
+        # shifting marginal stereo matches; this 40-frame image run is
+        # near a sensitivity boundary and must be asserted in the regime
+        # users actually run (r4 diagnosis: frame-2 inliers 166 (f32) vs
+        # 97 (f64) on identical matches).
+        jax.config.update("jax_enable_x64", False)
+        try:
+            self._run_pipelined()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    def _run_pipelined(self):
         n_frames = 40
         iw = synthetic.make_inertial_world(
             n_frames=n_frames, fps=10.0, n_landmarks=2000, seed=5
@@ -232,3 +247,36 @@ class TestPipelinedImagePath:
             traj[:, :3, 3], poses[: len(traj), :3, 3]
         )
         assert ate["rmse"] < 0.5
+
+
+class TestSmootherPath:
+    """The per-frame fixed-lag smoother on the VIO tracking path
+    (cfg.ba.use_smoother — the consumed ISAM2/GTSAM capability,
+    gtsamoptimizer.h:107-262; optim/smoother.py)."""
+
+    @pytest.fixture(scope="class")
+    def smoother_cfg(self):
+        import dataclasses
+
+        cfg = make_cfg()
+        return cfg.replace(
+            ba=dataclasses.replace(cfg.ba, use_smoother=True)
+        )
+
+    def test_smoother_path_tracks(self, inertial_world, smoother_cfg):
+        vo, states, ate = run_vio(inertial_world, cfg=smoother_cfg)
+        assert vo.imu_ready
+        assert states.count("LOST") == 0
+        assert ate["rmse"] < 0.05
+
+    def test_smoother_matches_gn_under_dropout(self, inertial_world,
+                                               smoother_cfg):
+        """Visual dropout (5 frames with 3 features): the windowed
+        re-optimization must ride through at least as well as the
+        2-state prior GN (and never lose tracking)."""
+        drop = set(range(45, 50))
+        _, s_s, ate_s = run_vio(inertial_world, drop_frames=drop,
+                                cfg=smoother_cfg)
+        _, s_p, ate_p = run_vio(inertial_world, drop_frames=drop)
+        assert s_s.count("LOST") == 0
+        assert ate_s["rmse"] < max(1.15 * ate_p["rmse"], 0.05)

@@ -126,7 +126,22 @@ def render_oracle_frame(
     u = cam_fx * pc[:, 0] / np.maximum(z, 1e-6) + cam_cx
     v = cam_fy * pc[:, 1] / np.maximum(z, 1e-6) + cam_cy
     ur = u - bf / np.maximum(z, 1e-6)
-    vis = (z > 1.0) & (z < 60.0) & (u >= 5) & (u < width - 5) & (v >= 5) & (v < height - 5)
+    # each landmark is a physical feature with an intrinsic scale: d0 is
+    # the distance at which it is detected at pyramid level 0; it is only
+    # detectable within its 8-octave band (level in [0, 7]), and its
+    # octave follows the geometric model the pipeline's PredictScale and
+    # scale-range gates assume (mappoint.h:164-170)
+    d0 = np.exp(
+        np.random.default_rng(777).uniform(
+            np.log(8.0), np.log(70.0), world.points.shape[0]
+        )
+    )
+    lvl_f = np.log(d0 / np.maximum(z, 1e-6)) / np.log(1.2)
+    vis = (
+        (z > 1.0) & (z < 60.0)
+        & (u >= 5) & (u < width - 5) & (v >= 5) & (v < height - 5)
+        & (lvl_f > -0.5) & (lvl_f < 7.5)
+    )
     ids = np.where(vis)[0]
     if ids.shape[0] > max_features:
         # deterministic subselection (lowest ids) so consecutive frames see
@@ -136,8 +151,7 @@ def render_oracle_frame(
     v = v[ids] + rng.normal(0, px_noise, ids.shape[0])
     ur = ur[ids] + rng.normal(0, px_noise, ids.shape[0])
     desc = flip_descriptor_bits(world.desc[ids], desc_noise_bits, rng)
-    # simulated level from depth (closer -> finer)
-    level = np.clip((45.0 / np.maximum(z[ids], 2.0)).astype(int) // 4, 0, 7)
+    level = np.clip(np.round(lvl_f[ids]).astype(int), 0, 7)
     return OracleFrame(
         xy=np.stack([u, v], axis=-1),
         uright=ur,
@@ -391,9 +405,21 @@ def render_oracle_frame_fisheye(
     uv = np.asarray(kb8_mod.project(cam, jnp.asarray(pc, jnp.float32)))
     u, v = uv[:, 0], uv[:, 1]
     ur = u - bf / np.maximum(z, 1e-6)
+    # each landmark is a physical feature with an intrinsic scale: d0 is
+    # the distance at which it is detected at pyramid level 0; it is only
+    # detectable within its 8-octave band (level in [0, 7]), and its
+    # octave follows the geometric model the pipeline's PredictScale and
+    # scale-range gates assume (mappoint.h:164-170)
+    d0 = np.exp(
+        np.random.default_rng(777).uniform(
+            np.log(8.0), np.log(70.0), world.points.shape[0]
+        )
+    )
+    lvl_f = np.log(d0 / np.maximum(z, 1e-6)) / np.log(1.2)
     vis = (
         (z > 1.0) & (z < 60.0)
         & (u >= 5) & (u < width - 5) & (v >= 5) & (v < height - 5)
+        & (lvl_f > -0.5) & (lvl_f < 7.5)
     )
     ids = np.where(vis)[0]
     if ids.shape[0] > max_features:
@@ -402,7 +428,7 @@ def render_oracle_frame_fisheye(
     v = v[ids] + rng.normal(0, px_noise, ids.shape[0])
     ur = ur[ids] + rng.normal(0, px_noise, ids.shape[0])
     desc = flip_descriptor_bits(world.desc[ids], desc_noise_bits, rng)
-    level = np.clip((45.0 / np.maximum(z[ids], 2.0)).astype(int) // 4, 0, 7)
+    level = np.clip(np.round(lvl_f[ids]).astype(int), 0, 7)
     return OracleFrame(
         xy=np.stack([u, v], axis=-1),
         uright=ur,

@@ -78,7 +78,6 @@ def _track_level(
     det = h11 * h22 - h12 * h12
     det_safe = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
 
-    res = jnp.zeros((xy_cur.shape[0],), prev.dtype)
     for _ in range(iters):
         w = xy_cur[:, None, :] + offs[None, :, :]
         e = _sample(nxt, w) - T  # (N, P²)
@@ -88,7 +87,10 @@ def _track_level(
         dy = (h11 * b2 - h12 * b1) / det_safe
         # inverse-compositional translation update: p <- p - Δ
         xy_cur = xy_cur - jnp.stack([dx, dy], axis=-1)
-        res = jnp.mean(jnp.abs(e), axis=-1)
+    # residual at the FINAL position (the gated TrackResult.residual must
+    # reflect the returned xy, not the one-iteration-stale error)
+    e = _sample(nxt, xy_cur[:, None, :] + offs[None, :, :]) - T
+    res = jnp.mean(jnp.abs(e), axis=-1)
     return xy_cur, res
 
 

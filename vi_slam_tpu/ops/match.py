@@ -44,8 +44,11 @@ def masked_min2(dist: jnp.ndarray, mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.
     Returns (best_idx, best_dist, second_dist)."""
     d = jnp.where(mask, dist, INF)
     best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF)
+    best = jnp.min(d, axis=1)
+    # second-best via masked min (an iota compare, NOT a scatter — TPU
+    # row-indexed scatters serialize at ~µs/row)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.where(cols == best_idx[:, None], INF, d)
     second = jnp.min(d2, axis=1)
     return best_idx, best, second
 

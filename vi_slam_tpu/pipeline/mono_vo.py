@@ -55,7 +55,8 @@ def _match_frames(desc1, valid1, desc2, valid2, th=64, ratio=0.9):
     j_best = jnp.argmin(D, axis=1)
     d_best = jnp.min(D, axis=1)
     N = D.shape[0]
-    D2 = D.at[jnp.arange(N), j_best].set(big)
+    cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    D2 = jnp.where(cols == j_best[:, None], big, D)
     d_second = jnp.min(D2, axis=1)
     i_best_of_j = jnp.argmin(D, axis=0)
     mutual = i_best_of_j[j_best] == jnp.arange(N)
@@ -243,6 +244,29 @@ class MonoVO(StereoVO):
             self.map,
             jnp.where(jnp.asarray(create), ids, self.map.mp_pos.shape[0] - 1),
         )
+        # full BA over the 2-KF initial map (CreateInitialMapMonocular runs
+        # GlobalBundleAdjustemnt(20) before tracking continues,
+        # tracking.cpp:2442) — the two-view geometry alone leaves px-level
+        # residuals that would anchor the whole trajectory
+        from vi_slam_tpu.optim import local_ba as ba_mod
+
+        prob = steps.gather_global_ba_problem(self.cam, self.map)
+        gres = ba_mod.bundle_adjust(
+            self.cam, prob, iters=20, assembly="scatter"
+        )
+        self.map = steps.scatter_global_ba_result(
+            self.map, gres.poses, gres.points
+        )
+        # re-normalize: median depth of the initial points -> 1 again and
+        # refresh the live pose mirrors from the optimized KF1
+        T1_opt = SE3(self.map.kf_R[1], self.map.kf_t[1])
+        self.T_dev = T1_opt
+        got = jax.device_get({"R": T1_opt.R, "t": T1_opt.t})
+        self.T_np = np.eye(4)
+        self.T_np[:3, :3] = got["R"]
+        self.T_np[:3, 3] = got["t"]
+        self.ref_pose_np = self.T_np.copy()
+
         self.state = OK
         self.vel_dev = SE3.identity()
         self._ref_kf_tracked = int(np.sum(create))

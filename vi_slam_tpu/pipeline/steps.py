@@ -46,12 +46,23 @@ def gather_local_points(
     rows = state.kf_mp[safe]  # (W, N)
     rows = jnp.where((recent_kfs >= 0)[:, None], rows, -1)
     flat = rows.reshape(-1)
-    # Prefer the NEWEST points when the capacity cap truncates: unique()
-    # keeps the smallest values, so sort on (M - id); invalid slots map past
-    # the end and sort last.
-    key = jnp.where(flat >= 0, M - flat, M + 1)
-    uniq = jnp.unique(key, size=n_local, fill_value=M + 1)
-    ids = jnp.where(uniq <= M, M - uniq, -1)
+    # When the capacity cap truncates, priority is (1) points observed by
+    # the reference keyframe itself — the ones tracking matches against
+    # and local BA must keep fresh (a newest-only preference starves
+    # long-lived fused points of re-optimization forever) — then (2) the
+    # newest points. unique() keeps the smallest keys; same id always maps
+    # to the same key, so dedup is stable.
+    Q = M + 1
+    ref_row = rows[0]
+    in_ref = (
+        jnp.zeros((M,), bool)
+        .at[jnp.clip(ref_row, 0, M - 1)]
+        .set(ref_row >= 0, mode="drop")
+    )
+    pri = jnp.where(in_ref[jnp.clip(flat, 0, M - 1)], 0, 1)
+    key = jnp.where(flat >= 0, pri * Q + (M - flat), 2 * Q + 1)
+    uniq = jnp.unique(key, size=n_local, fill_value=2 * Q + 1)
+    ids = jnp.where(uniq < 2 * Q, M - (uniq % Q), -1)
     return ids, ids >= 0
 
 
@@ -335,6 +346,19 @@ def fuse_pair_dir(
     kp = jnp.clip(m.idx, 0, N - 1)
     q = state.kf_mp[kf_b, kp]  # point already held by the matched keypoint
     okm = m.ok & valid
+    # stereo right-coordinate consistency (Fuse's 3D residual for stereo
+    # keypoints, fmatcher.cpp:1970 e=(u,v,ur) chi2 7.8): a projected point
+    # whose predicted disparity disagrees with the matched keypoint's
+    # measured u_r is a different physical point. The gate protects the
+    # IRREVERSIBLE merge decision only — new observations stay gated by
+    # the (radius, level, descriptor) window, because a freshly
+    # triangulated point's depth noise alone can exceed the disparity
+    # window and starving points of observations weakens the whole covis
+    # graph (measured: gating case 1 too halves tracked inliers).
+    ur_kp = state.kf_uright[kf_b, kp]
+    ur_pred = uv[:, 0] - cam.bf / jnp.maximum(z, 1e-6)
+    r_eff = radius * level_scales[jnp.clip(level, 0, n_levels - 1)]
+    ur_ok = (ur_kp <= 0) | (jnp.abs(ur_pred - ur_kp) <= r_eff)
 
     # case 1: free keypoint -> new observation of p, unless p is already
     # observed by kf_b at another keypoint (Fuse's pMP->IsInKeyFrame(pKF)
@@ -347,7 +371,7 @@ def fuse_pair_dir(
     )
 
     # case 2: duplicate -> merge into the point with more observations
-    dup = okm & (q >= 0) & (q != mp)
+    dup = okm & ur_ok & (q >= 0) & (q != mp)
     q_safe = jnp.clip(q, 0, M - 1)
     p_wins = state.mp_n_obs[safe] >= state.mp_n_obs[q_safe]
     winner = jnp.where(p_wins, mp, q)
@@ -530,7 +554,8 @@ def match_and_triangulate(
 
     j_best = jnp.argmin(D, axis=1)
     d_best = jnp.min(D, axis=1)
-    D2 = D.at[jnp.arange(N), j_best].set(big)
+    cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    D2 = jnp.where(cols == j_best[:, None], big, D)
     d_second = jnp.min(D2, axis=1)
     i_best_of_j = jnp.argmin(D, axis=0)
     mutual = i_best_of_j[j_best] == jnp.arange(N)
@@ -544,33 +569,97 @@ def match_and_triangulate(
     b_new = camlib.unproject(cam, uv_new)
     uv_r = uv_ref[kp_ref_idx]
     b_ref = camlib.unproject(cam, uv_r)
-    xw = triangulate_dlt(T_new, T_ref, b_new, b_ref)
+
+    # ray parallax from the BEARINGS (pre-triangulation), exactly like
+    # CreateNewMapPoints (localmapping.cpp:363: cosParallaxRays between
+    # Rwc1*xn1 and Rwc2*xn2); a DLT solve from near-parallel rays is
+    # noise-amplifying, so low-parallax pairs must fall back to stereo
+    # depth or be skipped
+    ray_new_w = jnp.einsum("ji,nj->ni", T_new.R, b_new)  # Rwc = Rcw^T
+    ray_ref_w = jnp.einsum("ji,nj->ni", T_ref.R, b_ref)
+    cos_rays = jnp.sum(ray_new_w * ray_ref_w, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ray_new_w, axis=-1)
+        * jnp.linalg.norm(ray_ref_w, axis=-1),
+        1e-12,
+    )
+    # stereo-implied parallax: cos(2*atan2(b/2, z)) per kp with stereo
+    # depth; 1.1 (= "worse than any ray parallax") when mono/no depth
+    baseline = cam.bf / cam.fx
+    d_new_st = state.kf_depth[kf_new]
+    d_ref_st = state.kf_depth[kf_ref][kp_ref_idx]
+    has_st_new = d_new_st > 0
+    has_st_ref = d_ref_st > 0
+    cos_st_new = jnp.where(
+        has_st_new,
+        jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(d_new_st, 1e-6))),
+        1.1,
+    )
+    cos_st_ref = jnp.where(
+        has_st_ref,
+        jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(d_ref_st, 1e-6))),
+        1.1,
+    )
+    cos_st = jnp.minimum(cos_st_new, cos_st_ref)
+
+    tri_ok = (cos_rays < cos_st) & (cos_rays > 0) & (cos_rays < 0.9998)
+    xw_dlt = triangulate_dlt(T_new, T_ref, b_new, b_ref)
+    Twc_new = T_new.inverse()
+    Twc_ref = T_ref.inverse()
+    xw_st_new = Twc_new.apply(b_new * d_new_st[:, None])
+    xw_st_ref = Twc_ref.apply(b_ref * d_ref_st[:, None])
+    use_st_new = ~tri_ok & has_st_new & (cos_st_new < cos_st_ref)
+    use_st_ref = ~tri_ok & ~use_st_new & has_st_ref
+    xw = jnp.where(
+        use_st_new[:, None],
+        xw_st_new,
+        jnp.where(use_st_ref[:, None], xw_st_ref, xw_dlt),
+    )
+    good = good & (tri_ok | use_st_new | use_st_ref)
+
     pc_new = T_new.apply(xw)
     pc_ref = T_ref.apply(xw)
     z_new, z_ref = pc_new[:, 2], pc_ref[:, 2]
+    c_new = Twc_new.t
+    c_ref = Twc_ref.t
 
-    # parallax between rays
-    c_new = T_new.inverse().t
-    c_ref = T_ref.inverse().t
-    r1 = xw - c_new
-    r2 = xw - c_ref
-    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
-    )
-
-    # reprojection gates (5.991 * sigma2, CreateNewMapPoints)
-    sig2_new = scale_factor ** (2.0 * state.kf_level[kf_new].astype(jnp.float32))
+    # reprojection gates: 5.991*sigma2 mono rows, 7.815*sigma2 with the
+    # stereo right-coordinate residual added (CreateNewMapPoints chi2)
+    lvl_new = state.kf_level[kf_new].astype(jnp.float32)
+    sig2_new = scale_factor ** (2.0 * lvl_new)
     pr_new = camlib.project(cam, pc_new)
     pr_ref = camlib.project(cam, pc_ref)
+    ur_new = state.kf_uright[kf_new]
+    ur_ref = state.kf_uright[kf_ref][kp_ref_idx]
     e_new = jnp.sum((pr_new - uv_new) ** 2, axis=-1)
     e_ref = jnp.sum((pr_ref - uv_r) ** 2, axis=-1)
+    ur_pred_new = pr_new[:, 0] - cam.bf / jnp.maximum(z_new, 1e-6)
+    ur_pred_ref = pr_ref[:, 0] - cam.bf / jnp.maximum(z_ref, 1e-6)
+    e_new3 = e_new + (ur_pred_new - ur_new) ** 2
+    e_ref3 = e_ref + (ur_pred_ref - ur_ref) ** 2
+    sig2_ref_m = sigma2_ref[kp_ref_idx]
+    gate_new = jnp.where(
+        ur_new > 0, e_new3 < 7.815 * sig2_new, e_new < 5.991 * sig2_new
+    )
+    gate_ref = jnp.where(
+        ur_ref > 0, e_ref3 < 7.815 * sig2_ref_m, e_ref < 5.991 * sig2_ref_m
+    )
+    good = good & (z_new > 0.05) & (z_ref > 0.05) & gate_new & gate_ref
+
+    # scale-consistency (CreateNewMapPoints ratioDist/ratioOctave gate):
+    # the distance ratio between the two views must agree with the octave
+    # ratio within ratioFactor = 1.5*scale
+    dist_new_all = jnp.linalg.norm(xw - c_new[None, :], axis=-1)
+    dist_ref_all = jnp.linalg.norm(xw - c_ref[None, :], axis=-1)
+    ratio_dist = dist_ref_all / jnp.maximum(dist_new_all, 1e-9)
+    lvl_ref = state.kf_level[kf_ref].astype(jnp.float32)[kp_ref_idx]
+    ratio_octave = scale_factor ** (lvl_new - lvl_ref)
+    ratio_factor = 1.5 * scale_factor
     good = (
         good
-        & (z_new > 0.05)
-        & (z_ref > 0.05)
-        & (cosp < 0.9998)
-        & (e_new < 5.991 * sig2_new)
-        & (e_ref < 5.991 * sigma2_ref[kp_ref_idx])
+        & (dist_new_all > 1e-6)
+        & (dist_ref_all > 1e-6)
+        & (ratio_dist * ratio_factor > ratio_octave)
+        & (ratio_dist < ratio_octave * ratio_factor)
     )
 
     # select up to max_new best (lowest descriptor distance)

@@ -230,6 +230,7 @@ class StereoVO:
         # Atlas multi-map state (atlas.cpp:45): parked maps + active id
         self.atlas_stored: list = []
         self.active_map_id = 0
+        self.merge_count = 0
         self._next_map_id = 0
         self._fork_pending = False
         self._merge_guard = False
@@ -300,14 +301,14 @@ class StereoVO:
                 return m, kp_idx, T_opt, inlier, n_in
 
             m1, kp1, T1, in1, n1 = run_match(radius, T_pred)
-            m2, kp2, T2, in2, n2 = run_match(3.0 * radius, T_last)
+            # the 3x-radius recovery search (TrackWithMotionModel's retry,
+            # tracking.cpp:2742) runs under lax.cond: on healthy frames —
+            # the overwhelming majority — the second match+GN costs nothing
             use_wide = n1 < min_matches
-            pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(use_wide, y, x), a, b
-            )
-            m, kp_idx, T, inlier, n_in = (
-                pick(m1, m2), pick(kp1, kp2), pick(T1, T2),
-                pick(in1, in2), jnp.where(use_wide, n2, n1),
+            m, kp_idx, T, inlier, n_in = jax.lax.cond(
+                use_wide,
+                lambda: run_match(3.0 * radius, T_last),
+                lambda: (m1, kp1, T1, in1, n1),
             )
 
             ok = m.ok & proj.valid & inlier
@@ -363,7 +364,7 @@ class StereoVO:
 
         tr_cfg = cfg.tracker
         min_ok_static = max(tr_cfg.min_matches_motion // 2, 10)
-        kf_budget = min(384, n_feats)
+        kf_budget = min(tr_cfg.kf_point_budget, n_feats)
 
         def _frame(imgs_u8, mstate, carry, T_last, vel, frame_id, ts,
                    loc_only):
@@ -540,7 +541,7 @@ class StereoVO:
             creation instead (mono_vo._create_keyframe)."""
             mstate = steps.fuse_neighbors(
                 cam, mstate, ref_slot, float(W), float(H),
-                n_window=3, max_fuse=96,
+                n_window=ba_cfg.mapping_fuse_window, max_fuse=96,
                 th_low=cfg.matcher.th_low,
                 scale_factor=ext_cfg.scale_factor,
                 n_levels=ext_cfg.n_levels,
@@ -902,7 +903,8 @@ class StereoVO:
         self.n_kf += 1
         pose = pose_dev if pose_dev is not None else self.T_dev
         fid = frame_id if frame_id is not None else self.frame_id
-        budget = min(1024 if slot == 0 else 384, self.cfg.extractor.n_features)
+        budget = min(1024 if slot == 0 else self.cfg.tracker.kf_point_budget,
+                     self.cfg.extractor.n_features)
         self.map = self._create_kf_fn(
             self.map, jnp.int32(slot), pose, jnp.int32(fid),
             jnp.asarray(timestamp, self.map.kf_timestamp.dtype),
@@ -927,6 +929,9 @@ class StereoVO:
         :322 + KeyFrameCulling :946) as one dispatch-only chain; the
         culled-KF bookkeeping comes back via the next batched pull."""
         if self.n_kf < 4:
+            return
+        self._maint_tick = getattr(self, "_maint_tick", 0) + 1
+        if self._maint_tick % self.cfg.tracker.maintenance_every:
             return
         # stereo/RGBD demand 3 observations of a young point; mono demands
         # 2 (LocalMapping::MapPointCulling nThObs, localmapping.cpp:322)
@@ -1221,9 +1226,12 @@ class StereoVO:
         sm = self.atlas_stored[si]
         K = self.map.kf_R.shape[0]
         M = self.map.mp_pos.shape[0]
+        # drain in-flight frames BEFORE the capacity check: the flush can
+        # finalize queued frames and insert keyframes/points, so the check
+        # must see the post-flush counts or merge_into could overflow
+        self.flush()
         if sm.n_kf + self.n_kf > K - 1 or sm.n_mp + self.n_mp > M - 2:
             return False  # merged map would overflow capacity
-        self.flush()  # drain in-flight frames of the pre-merge map
         kf_off, mp_off = sm.n_kf, sm.n_mp
 
         T_cur = SE3(self.map.kf_R[cur], self.map.kf_t[cur])
@@ -1235,9 +1243,17 @@ class StereoVO:
             sm.map, self.map, S, jnp.int32(kf_off), jnp.int32(mp_off)
         )
         # seam fusion: active-map duplicates lose to stored-map points
-        # (MergeLocal SearchAndFuse direction, loopclosing.cpp:1412)
+        # (MergeLocal SearchAndFuse direction, loopclosing.cpp:1412).
+        # The pairs were verified before the flush above, which may have
+        # culled/replaced active-map points — re-validate both sides.
         mp_cur, mp_old, fvalid = pairs
         src = jnp.where(mp_cur >= 0, mp_cur + mp_off, -1)
+        Mm = merged.mp_valid.shape[0]
+        fvalid = (
+            fvalid
+            & merged.mp_valid[jnp.clip(src, 0, Mm - 1)]
+            & merged.mp_valid[jnp.clip(mp_old, 0, Mm - 1)]
+        )
         merged = map_state.fuse_points(merged, src, mp_old, fvalid)
         # welding bundle adjustment over the merged map
         prob = steps.gather_global_ba_problem(self.cam, merged)
@@ -1286,6 +1302,7 @@ class StereoVO:
                     lc.register_covis(s, np.asarray(merged.kf_mp[s]))
         # re-anchor the live pose chain on the welded reference KF
         self._after_loop_correction()
+        self.merge_count += 1
         self.metrics.event("map_merge", into_map=self.active_map_id,
                            kf_offset=kf_off, mp_offset=mp_off)
         return True

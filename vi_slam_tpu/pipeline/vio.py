@@ -42,6 +42,7 @@ from vi_slam_tpu.lie.se3 import SE3
 from vi_slam_tpu.ops import match as match_ops
 from vi_slam_tpu.optim import pose_inertial
 from vi_slam_tpu.optim import inertial_init as iinit
+from vi_slam_tpu.optim import smoother as smoother_mod
 from vi_slam_tpu.optim import vi_ba
 from vi_slam_tpu.pipeline import steps
 from vi_slam_tpu.pipeline.stereo_vo import (
@@ -123,6 +124,13 @@ class StereoInertialVO(StereoVO):
         self.imu_ready = False
         self._init_stage = 0  # 0 = none, 1 = first init, 2 = refined
         self.kf_chain: List[int] = []  # live KF slots in temporal order
+        # per-frame fixed-lag smoother window (the ISAM2/GTSAM capability
+        # on the tracking path, gtsamoptimizer.h:107-262): device-resident,
+        # threaded through every inertial frame dispatch
+        self.smoother_win = smoother_mod.allocate_window(
+            cfg.ba.smoother_window, cfg.ba.smoother_vis
+        )
+        self.smoother_count = jnp.zeros((), jnp.int32)
         self._build_vio_fns()
 
     # ----------------------------------------------------- device programs
@@ -153,9 +161,85 @@ class StereoInertialVO(StereoVO):
         walk_g2_f = float(cfg.imu.walk_gyro) ** 2
         walk_a2_f = float(cfg.imu.walk_acc) ** 2
 
+        SW = cfg.ba.smoother_window
+        SV = cfg.ba.smoother_vis
+        sm_iters = cfg.ba.smoother_iters
+        use_smoother = cfg.ba.use_smoother
+        nominal_dt = 1.0 / max(cfg.camera.fps, 1.0)
+        wig_s = jnp.asarray(1.0 / (walk_g2_f * nominal_dt), jnp.float32)
+        wia_s = jnp.asarray(1.0 / (walk_a2_f * nominal_dt), jnp.float32)
+
+        def _smoother_step(win, count, T, v, bg, ba, p_frame, obs,
+                           anchor_ok, g_w):
+            """One fixed-lag smoother update (the per-frame ISAM2-style
+            incremental pass, gtsamoptimizer.h:107-262 /
+            iSAM2Optimizer.h:123-130): slide (exact Schur marginalization
+            of the oldest frame state, optimizer.cpp:4581), insert the
+            robust-GN state with its inlier visual anchors, re-optimize
+            the whole window warm-started."""
+            # top-SV inlier anchors, finest levels (lowest sigma2) first
+            score = jnp.where(anchor_ok, -obs.sigma2, -jnp.inf)
+            _, sel = jax.lax.top_k(score, SV)
+            sel = sel.astype(jnp.int32)
+            vvalid = anchor_ok[sel] & jnp.isfinite(score[sel])
+            xw = obs.xw[sel]
+            uv = obs.uvr[sel, :2]
+            s2 = jnp.maximum(obs.sigma2[sel], 1e-6)
+
+            full = count >= SW
+            win = jax.lax.cond(
+                full,
+                lambda w: smoother_mod.marginalize_oldest(
+                    cam, w, g_w, wig_s, wia_s
+                ),
+                lambda w: w,
+                win,
+            )
+            k = jnp.minimum(count, SW - 1)
+            prev = jnp.clip(k - 1, 0, SW - 2)
+            win = win._replace(
+                T_R=win.T_R.at[k].set(T.R),
+                T_t=win.T_t.at[k].set(T.t),
+                vel=win.vel.at[k].set(v),
+                bg=win.bg.at[k].set(bg),
+                ba=win.ba.at[k].set(ba),
+                valid=win.valid.at[k].set(True),
+                vis_xw=win.vis_xw.at[k].set(xw),
+                vis_uv=win.vis_uv.at[k].set(uv),
+                vis_sigma2=win.vis_sigma2.at[k].set(s2),
+                vis_valid=win.vis_valid.at[k].set(vvalid),
+                preint=jax.tree.map(
+                    lambda d, s: d.at[prev].set(
+                        jnp.where(k > 0, s, d[prev])
+                    ),
+                    win.preint, p_frame,
+                ),
+                inertial_valid=win.inertial_valid.at[prev].set(
+                    jnp.where(k > 0, True, win.inertial_valid[prev])
+                ),
+            )
+            prior_H0 = jnp.diag(jnp.asarray(
+                [1e2] * 6 + [1e1] * 3 + [1e4] * 3 + [1e3] * 3, jnp.float32
+            ))
+            win = jax.lax.cond(
+                count == 0,
+                lambda w: w._replace(
+                    prior_H=prior_H0, prior_R=T.R, prior_t=T.t,
+                    prior_vel=v, prior_bg=bg, prior_ba=ba,
+                ),
+                lambda w: w,
+                win,
+            )
+            win, _cost = smoother_mod.optimize_window(
+                cam, win, g_w, wig_s, wia_s, iters=sm_iters
+            )
+            T_out = SE3(win.T_R[k], win.T_t[k])
+            return (win, count + 1, T_out, win.vel[k], win.bg[k],
+                    win.ba[k])
+
         @precise
         def _track_vio(mstate, ref_slot, feats, uright, depth, T_last,
-                       v_last, p_frame, bg, ba, g_w, prior):
+                       v_last, p_frame, bg, ba, g_w, prior, win, count):
             """Fused inertial frame core: PredictStateIMU + projection
             matching + the full PoseInertialOptimizationLastFrame graph
             (both frame states move; the previous frame carries the
@@ -193,17 +277,26 @@ class StereoInertialVO(StereoVO):
                         inlier, n_in)
 
             r1 = run_match(radius)
-            r2 = run_match(3.0 * radius)
+            # wide-radius retry only when the narrow pass failed (lax.cond:
+            # the second match+GN costs nothing on healthy frames)
             use_wide = r1[-1] < min_matches
-            pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(use_wide, y, x), a, b
-            )
             (m, kp_idx, T, v_new, bg_new, ba_new, prior_new, inlier,
-             n_in) = tuple(pick(a, b) for a, b in zip(r1[:-1], r2[:-1])) + (
-                jnp.where(use_wide, r2[-1], r1[-1]),
+             n_in) = jax.lax.cond(
+                use_wide, lambda: run_match(3.0 * radius), lambda: r1
             )
 
             ok = m.ok & proj.valid & inlier
+            if use_smoother:
+                obs_s, _ = steps.build_pose_obs(proj, m, feats, uright)
+                win, count, T_sm, v_sm, _bg_sm, _ba_sm = _smoother_step(
+                    win, count, T, v_new, bg_new, ba_new, p_frame, obs_s,
+                    ok & obs_s.valid, g_w,
+                )
+                # consume the smoothed pose/velocity; biases stay with the
+                # staged estimator (InertialOptimization priors +
+                # LocalInertialBA) — a 6-frame window under generic priors
+                # cannot observe biases better than the KF-rate chain
+                T, v_new = T_sm, v_sm
             matched_mp = steps.scatter_matches_to_kps(
                 n_feats, kp_idx, jnp.where(mp_ids >= 0, mp_ids, -1), ok
             )
@@ -232,16 +325,16 @@ class StereoInertialVO(StereoVO):
                 T_R=T.R, T_t=T.t, vel_R=vel_se3.R, vel_t=vel_se3.t,
                 matched_mp=matched_mp, packed=packed,
             )
-            return bundle, v_new, bg_new, ba_new, prior_new
+            return bundle, v_new, bg_new, ba_new, prior_new, win, count
 
-        self._track_vio_fn = jax.jit(_track_vio)
+        self._track_vio_fn = jax.jit(_track_vio, donate_argnums=(12,))
 
         tr_cfg = cfg.tracker
         min_ok_static, kf_budget = self._kf_decision_consts
 
         def _frame_vio(imgs_u8, mstate, kf_preint, kf_vel, carry, T_last,
                        v_last, bg, ba, g_w, prior, accum, acc, gyro, dts,
-                       frame_id, ts, loc_only):
+                       frame_id, ts, loc_only, win, count):
             """Fused inertial per-frame program (the pipelined VIO path):
             extract + stereo + preintegrate + inertial track + KEYFRAME
             DECISION AND CREATION (incl. closing the preintegration
@@ -253,9 +346,9 @@ class StereoInertialVO(StereoVO):
             accum2 = pre.compose(accum, p_frame)
             K = mstate.kf_R.shape[0]
             ref_slot = jnp.clip(mstate.kf_count[0] - 1, 0, K - 1)
-            bundle, v_new, bg_new, ba_new, prior_new = _track_vio(
+            bundle, v_new, bg_new, ba_new, prior_new, win, count = _track_vio(
                 mstate, ref_slot, feats, uright, depth, T_last, v_last,
-                p_frame, bg, ba, g_w, prior,
+                p_frame, bg, ba, g_w, prior, win, count,
             )
             from vi_slam_tpu.pipeline.stereo_vo import (
                 _PK_NCLOSE, _PK_NCREAT, _PK_KFFLAG, _PK_KFSLOT, _PK_KFCOUNT,
@@ -309,9 +402,10 @@ class StereoInertialVO(StereoVO):
             )
             bundle = bundle._replace(packed=packed)
             return (bundle, mstate, kf_preint, kf_vel, carry_new, accum3,
-                    v_new, bg_new, ba_new, prior_new, feats, uright, depth)
+                    v_new, bg_new, ba_new, prior_new, win, count,
+                    feats, uright, depth)
 
-        self._frame_vio_fn = jax.jit(_frame_vio, donate_argnums=(1, 2, 3))
+        self._frame_vio_fn = jax.jit(_frame_vio, donate_argnums=(1, 2, 3, 18))
 
         def _close_segment(kf_preint, kf_vel, slot, accum, v, bg, ba):
             """Keyframe creation: store the finished segment + velocity,
@@ -531,7 +625,8 @@ class StereoInertialVO(StereoVO):
         with self.timer.stage("frame_core"):
             (bundle, self.map, self.kf_preint_dev, self.kf_vel_dev,
              self.carry_dev, self._accum, self.vel_w_dev, self.bg_dev,
-             self.ba_dev, self.prior_dev, feats, ur, dp) = (
+             self.ba_dev, self.prior_dev, self.smoother_win,
+             self.smoother_count, feats, ur, dp) = (
                 self._frame_vio_fn(
                     imgs, self.map, self.kf_preint_dev, self.kf_vel_dev,
                     self.carry_dev, self.T_dev, self.vel_w_dev,
@@ -540,6 +635,7 @@ class StereoInertialVO(StereoVO):
                     jnp.asarray(dts), jnp.int32(self.frame_id),
                     jnp.asarray(timestamp, jnp.float32),
                     jnp.asarray(self.localization_only),
+                    self.smoother_win, self.smoother_count,
                 )
             )
         job = FrameJob(self.frame_id, timestamp, self.ref_kf, bundle,
@@ -569,10 +665,12 @@ class StereoInertialVO(StereoVO):
         if self.state == NOT_INITIALIZED:
             return self._track_entry(feats, ur, dp, timestamp, None)
         if self.imu_ready and p_frame is not None:
-            bundle, v_new, bg_new, ba_new, prior_new = self._track_vio_fn(
+            (bundle, v_new, bg_new, ba_new, prior_new, self.smoother_win,
+             self.smoother_count) = self._track_vio_fn(
                 self.map, jnp.int32(max(self.ref_kf, 0)), feats, ur, dp,
                 self.T_dev, self.vel_w_dev, p_frame,
                 self.bg_dev, self.ba_dev, self.g_w_dev, self.prior_dev,
+                self.smoother_win, self.smoother_count,
             )
             self.vel_w_dev = v_new
             self.bg_dev = bg_new
@@ -632,6 +730,27 @@ class StereoInertialVO(StereoVO):
                 if i > 0:
                     self.kf_chain.pop(i)
         super()._apply_cull_info(info)
+
+    def _reset_smoother(self):
+        """Drop the fixed-lag window (after inertial init the whole state
+        basis — gravity frame, biases — changed; warm starts would be
+        linearized at garbage)."""
+        self.smoother_win = smoother_mod.allocate_window(
+            self.cfg.ba.smoother_window, self.cfg.ba.smoother_vis
+        )
+        self.smoother_count = jnp.zeros((), jnp.int32)
+
+    def _shift_smoother(self, delta: SE3):
+        """Apply a keyframe-rate BA pose correction to the window states
+        (right-multiplicative, same convention as the live pose chain);
+        velocity/bias shifts are second-order for local-BA-sized deltas."""
+        w = self.smoother_win
+        T = SE3(w.T_R, w.T_t)
+        Tn = jax.vmap(lambda R, t: SE3(R, t).compose(delta))(w.T_R, w.T_t)
+        Tp = SE3(w.prior_R, w.prior_t).compose(delta)
+        self.smoother_win = w._replace(
+            T_R=Tn.R, T_t=Tn.t, prior_R=Tp.R, prior_t=Tp.t
+        )
 
     # staged initialization: (min trajectory seconds, priorG, priorA), the
     # analogue of InitializeIMU(1e2,1e6) / VIBA1 InitializeIMU(1,1e5) /
@@ -693,6 +812,9 @@ class StereoInertialVO(StereoVO):
         self.prior_dev = pose_inertial.initial_prior(
             self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
         )
+        # the state basis (gravity frame, biases) just changed: restart the
+        # fixed-lag window at the fresh state
+        self._reset_smoother()
         self.imu_ready = True
         self._init_stage += 1
         self._full_inertial_ba()
@@ -732,6 +854,7 @@ class StereoInertialVO(StereoVO):
         self.prior_dev = pose_inertial.initial_prior(
             self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
         )
+        self._reset_smoother()
 
     def _local_ba(self):
         if not self.imu_ready:
@@ -764,6 +887,8 @@ class StereoInertialVO(StereoVO):
         self.prior_dev = pose_inertial.initial_prior(
             self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
         )
+        # carry the same correction into the fixed-lag window states
+        self._shift_smoother(delta)
 
     def _handle_failure(self, job: FrameJob, st: TrackStats,
                         T_np: np.ndarray) -> TrackStats:

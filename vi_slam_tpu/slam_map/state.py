@@ -157,6 +157,11 @@ def insert_keyframe(
     # result may be one map version behind)
     has_mp = (mp_ids >= 0) & feats.valid
     has_mp = has_mp & state.mp_valid[jnp.clip(mp_ids, 0, M - 1)]
+    # NB: the forward link is kept even when the reverse observation list
+    # is at capacity (can_add False below): kf_mp drives matching/covis/
+    # fuse ("this keypoint tracks this point"), while mp_obs_* is the
+    # capacity-bounded BA measurement list — they legitimately diverge for
+    # heavily-observed points.
     state = state._replace(
         kf_mp=state.kf_mp.at[slot].set(jnp.where(has_mp, mp_ids, -1))
     )
@@ -414,7 +419,9 @@ def register_obs(
     obs_kf = obs_kf.at[M - 1].set(dump_kf)
     obs_idx = obs_idx.at[M - 1].set(dump_idx)
     n_obs = n_obs.at[M - 1].set(dump_n)
-    # keyframe side
+    # keyframe side (kept even when the obs list is at capacity — see
+    # insert_keyframe: the forward link drives matching/covis/fuse, the
+    # reverse list is the capacity-bounded BA measurement set)
     kp_safe = jnp.clip(kp_idx, 0, N - 1)
     row = state.kf_mp[kf_slot]
     row = row.at[kp_safe].set(jnp.where(ok, mp_ids, row[kp_safe]))

@@ -105,6 +105,12 @@ class TrackerConfig:
     # timestamp sanity (tracking.cpp:1681-1715): a backwards or larger
     # forward jump than this forks a new map (or resets, without atlas)
     max_timestamp_jump_sec: float = 3.0
+    # stereo back-projected points created per keyframe (the reference
+    # creates ~100 closest, tracking.cpp:3063; a larger budget lets the
+    # map survive sparser keyframe cadences)
+    kf_point_budget: int = 384
+    # run the map-maintenance chain (point/KF culling) every Nth keyframe
+    maintenance_every: int = 1
 
 
 @dataclass(frozen=True)
@@ -124,6 +130,19 @@ class BAConfig:
     # global BA
     gba_iters: int = 10
     solver_dtype: str = "float32"
+    # per-frame fixed-lag smoother on the VIO tracking path (the
+    # ISAM2/GTSAM capability, optim/smoother.py): after the robust
+    # inertial pose GN, the last `smoother_window` frame states are
+    # re-optimized jointly with exact Schur marginalization of the
+    # oldest state (gtsamoptimizer.h:107-262 semantics)
+    use_smoother: bool = False
+    smoother_window: int = 6
+    smoother_vis: int = 96
+    smoother_iters: int = 2
+    # SearchInNeighbors fuse window (covisible neighbors per mapping pass,
+    # localmapping.cpp:722 uses ~10 on CPU; each neighbor costs two full
+    # Hamming matrices on the device)
+    mapping_fuse_window: int = 3
 
 
 @dataclass(frozen=True)
