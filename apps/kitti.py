@@ -29,6 +29,8 @@ import jax
 
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("--dataset", help="KITTI sequence dir")
+parser.add_argument("--config", help="YAML config (ORB-SLAM settings, "
+                    "kalibr chain, or nested dict; io/config_io.py)")
 parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="run on an N-frame synthetic billboard world")
 parser.add_argument("--gt", help="KITTI-format ground-truth poses file")
@@ -125,15 +127,27 @@ def main():
     if args.max_frames:
         n_total = min(n_total, args.max_frames)
 
-    cfg = SystemConfig(
-        camera=CameraConfig(width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
-                            bf=BF, th_depth=35.0),
-        extractor=ExtractorConfig(n_features=2000),
-        ba=BAConfig(max_local_kfs=8, max_local_points=2048,
-                    local_ba_iters=6),
-        map=MapConfig(max_keyframes=512, max_points=131072,
-                      max_obs_per_point=8),
-    )
+    if args.config:
+        from vi_slam_tpu.io import config_io
+
+        loaded = config_io.load_config(args.config)
+        cfg = loaded.replace(
+            ba=BAConfig(max_local_kfs=8, max_local_points=2048,
+                        local_ba_iters=6),
+            map=MapConfig(max_keyframes=512, max_points=131072,
+                          max_obs_per_point=8),
+        )
+        log(f"config from {args.config}: {cfg.camera}")
+    else:
+        cfg = SystemConfig(
+            camera=CameraConfig(width=W, height=H, fx=FX, fy=FY, cx=CX,
+                                cy=CY, bf=BF, th_depth=35.0),
+            extractor=ExtractorConfig(n_features=2000),
+            ba=BAConfig(max_local_kfs=8, max_local_points=2048,
+                        local_ba_iters=6),
+            map=MapConfig(max_keyframes=512, max_points=131072,
+                          max_obs_per_point=8),
+        )
 
     vocab = None
     if not args.no_loop:
@@ -204,7 +218,7 @@ def main():
         "map_points": vo.n_mp, "lost_frames": lost,
         "loops_closed": (vo.loop_closer.stats.n_loops_closed
                          if vo.loop_closer else 0),
-        "maps_merged": 0 if vo.atlas_stored else None,
+        "maps_merged": vo.merge_count,
     }
     if gt_wc is not None:
         ate = evaluation.ate_rmse(est[:, :3, 3],

@@ -69,6 +69,70 @@ def save_tum(
             )
 
 
+def save_euroc(
+    path: str, timestamps: Sequence[float], poses_wc: Sequence[np.ndarray]
+) -> None:
+    """EuRoC format: `t_ns, tx, ty, tz, qw, qx, qy, qz` (comma-separated,
+    nanosecond stamps, w-first quaternion — SaveTrajectoryEuRoC
+    system.cpp:480-…)."""
+    with open(path, "w") as f:
+        f.write("#timestamp [ns], p_x [m], p_y [m], p_z [m], "
+                "q_w [], q_x [], q_y [], q_z []\n")
+        for t, T in zip(timestamps, poses_wc):
+            T = np.asarray(T)
+            q = rotation_to_quaternion(T[:3, :3])  # (x, y, z, w)
+            tr = T[:3, 3]
+            f.write(
+                f"{int(round(t * 1e9))},{tr[0]:.7f},{tr[1]:.7f},"
+                f"{tr[2]:.7f},{q[3]:.7f},{q[0]:.7f},{q[1]:.7f},"
+                f"{q[2]:.7f}\n"
+            )
+
+
+def load_euroc(path: str) -> Tuple[List[float], List[np.ndarray]]:
+    """Read an EuRoC-format trajectory back: (timestamps_s, Twc list)."""
+    ts, out = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            t_ns, tx, ty, tz, qw, qx, qy, qz = vals[:8]
+            T = np.eye(4)
+            T[:3, 3] = (tx, ty, tz)
+            x, y, z, w = qx, qy, qz, qw
+            T[:3, :3] = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            ts.append(t_ns * 1e-9)
+            out.append(T)
+    return ts, out
+
+
+def keyframe_trajectory(vo) -> Tuple[List[float], List[np.ndarray]]:
+    """(timestamps, Twc) of the LIVE keyframes only — the
+    SaveKeyFrameTrajectory{TUM,EuRoC} capability (system.cpp:560-640):
+    keyframe poses straight from the optimized map, culled slots skipped."""
+    import jax
+
+    m = jax.device_get(
+        {"R": vo.map.kf_R, "t": vo.map.kf_t, "valid": vo.map.kf_valid,
+         "ts": vo.map.kf_timestamp}
+    )
+    ts, out = [], []
+    for s in range(vo.n_kf):
+        if not bool(m["valid"][s]):
+            continue
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = m["R"][s]
+        Tcw[:3, 3] = m["t"][s]
+        ts.append(float(m["ts"][s]))
+        out.append(np.linalg.inv(Tcw))
+    return ts, out
+
+
 def load_kitti(path: str) -> List[np.ndarray]:
     out = []
     with open(path) as f:
