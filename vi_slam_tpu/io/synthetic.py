@@ -286,6 +286,7 @@ def make_inertial_world(
     bias_acc=(0.05, -0.03, 0.02),
     noise_gyro: float = 1.7e-4,
     noise_acc: float = 2.0e-3,
+    excitation: float = 1.0,
 ) -> InertialWorld:
     """Analytic smooth trajectory (closed-form velocity/acceleration) in the
     KITTI camera convention (x right, y down, z forward; gravity +y) with
@@ -295,9 +296,12 @@ def make_inertial_world(
     rng = np.random.default_rng(seed)
     g_w = np.asarray([0.0, 9.81, 0.0])
 
-    ax_, wx_ = 0.8, 0.5
-    ay_, wy_ = 0.15, 0.9
-    az_, wz_ = 0.5, 0.4
+    # `excitation` scales the oscillation amplitudes: mono-inertial scale
+    # is only observable under real acceleration (the reason MAV datasets
+    # wiggle); 1.0 keeps the gentle default, ~4 gives MAV-like dynamics
+    ax_, wx_ = 0.8 * excitation, 0.5
+    ay_, wy_ = 0.15 * excitation, 0.9
+    az_, wz_ = 0.5 * excitation, 0.4
     yaw0, wyaw = 0.25, 0.3
 
     def pos(t):

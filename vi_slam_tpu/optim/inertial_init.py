@@ -66,6 +66,67 @@ def inertial_init(
     dt = jnp.maximum(preint.dt, 1e-3)  # (K-1,)
     v_guess = (pwb[1:] - pwb[:-1]) / dt[:, None]
     v0 = jnp.concatenate([v_guess, v_guess[-1:]], axis=0)
+    log_s0 = jnp.zeros((), dtype)
+    w = valid.astype(dtype)
+
+    if optimize_scale:
+        # Closed-form LINEAR seed for (s, g, v): with rotations fixed the
+        # preintegration constraints are linear in these unknowns
+        # (the classical mono-inertial initialization; the reference's
+        # LM solve assumes a scale seed near truth, but a mono map is
+        # normalized to median depth 1 and the true factor can be 10-100x
+        # — an s=1 seed strands the GN in a local basin):
+        #   s (p2 - p1) - v1 dt - 0.5 g dt^2 = R1 dP
+        #   v2 - v1 - g dt = R1 dV
+        E = K - 1
+        n_lin = 4 + 3 * K  # [s | g(3) | v(3K)]
+        rows_A, rows_b, rows_w = [], [], []
+        r1dP = jnp.einsum("kij,kj->ki", Rwb[:-1], preint.dP)
+        r1dV = jnp.einsum("kij,kj->ki", Rwb[:-1], preint.dV)
+        I3 = jnp.eye(3, dtype=dtype)
+        for k in range(E):
+            wk = w[k]
+            dtk = dt[k]
+            # position rows
+            Ap = jnp.zeros((3, n_lin), dtype)
+            Ap = Ap.at[:, 0].set(pwb[k + 1] - pwb[k])
+            Ap = Ap.at[:, 1:4].set(-0.5 * dtk * dtk * I3)
+            Ap = Ap.at[:, 4 + 3 * k : 7 + 3 * k].set(-dtk * I3)
+            rows_A.append(Ap * wk)
+            rows_b.append(r1dP[k] * wk)
+            # velocity rows
+            Av = jnp.zeros((3, n_lin), dtype)
+            Av = Av.at[:, 1:4].set(-dtk * I3)
+            Av = Av.at[:, 4 + 3 * k : 7 + 3 * k].set(-I3)
+            Av = Av.at[:, 7 + 3 * k : 10 + 3 * k].set(I3)
+            rows_A.append(Av * wk)
+            rows_b.append(r1dV[k] * wk)
+        A_lin = jnp.concatenate(rows_A, axis=0)
+        b_lin = jnp.concatenate(rows_b, axis=0)
+        x_lin = jnp.linalg.lstsq(A_lin, b_lin)[0]
+        s_lin = x_lin[0]
+        g_lin = x_lin[1:4]
+        v_lin = x_lin[4:].reshape(K, 3)
+        ok_lin = (
+            jnp.isfinite(s_lin) & (s_lin > 1e-3) & (s_lin < 1e6)
+            & jnp.all(jnp.isfinite(g_lin)) & jnp.all(jnp.isfinite(v_lin))
+            & (jnp.linalg.norm(g_lin) > 1e-3)
+        )
+        log_s0 = jnp.where(ok_lin, jnp.log(jnp.clip(s_lin, 1e-3, 1e6)),
+                           log_s0)
+        v0 = jnp.where(ok_lin, v_lin, v0)
+        # gravity-aligning rotation from the linear gravity direction
+        ghat = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
+        g0_hat = jnp.asarray([0.0, 0.0, -1.0], dtype)
+        vaxis = jnp.cross(g0_hat, ghat)
+        sn = jnp.linalg.norm(vaxis)
+        cs = jnp.dot(g0_hat, ghat)
+        ang = jnp.arctan2(sn, cs)
+        axis = vaxis / jnp.maximum(sn, 1e-9)
+        Rwg_lin = jnp.where(
+            sn > 1e-6, so3.exp(axis * ang), jnp.eye(3, dtype=dtype)
+        )
+        Rwg0 = jnp.where(ok_lin, Rwg_lin, Rwg0)
 
     def unpack(params):
         theta = params[0:2]
@@ -76,8 +137,6 @@ def inertial_init(
         Rwg = Rwg0 @ so3.exp(jnp.concatenate([theta, jnp.zeros((1,), dtype)]))
         s = jnp.exp(log_s) if optimize_scale else jnp.ones((), dtype)
         return Rwg, s, bg, ba, vel
-
-    w = valid.astype(dtype)
 
     def residuals(params):
         Rwg, s, bg, ba, vel = unpack(params)
@@ -102,7 +161,11 @@ def inertial_init(
         return jnp.concatenate([rw.reshape(-1), r_prior])
 
     n_params = 9 + 3 * K
-    params = jnp.zeros((n_params,), dtype).at[9:].set(v0.reshape(-1))
+    params = (
+        jnp.zeros((n_params,), dtype)
+        .at[2].set(log_s0)
+        .at[9:].set(v0.reshape(-1))
+    )
 
     def gn_step(carry, _):
         params, cost, lam = carry

@@ -235,7 +235,7 @@ class StereoVO:
         self._fork_pending = False
         self._merge_guard = False
         self._merge_key = jax.random.PRNGKey(23)
-        self._last_ts: Optional[float] = None
+        self._last_frame_ts: Optional[float] = None
 
         # optional loop closing (LoopClosing thread equivalent), enabled by
         # providing a vocabulary
@@ -819,6 +819,12 @@ class StereoVO:
             > self.cfg.tracker.recently_lost_sec
         ):
             self.state = LOST
+            # a young map that gets lost is cheaper to rebuild than to
+            # relocalize into (Tracking LOST branch, tracking.cpp:2120:
+            # KFs<10 -> ResetActiveMap); with no Atlas this is the only
+            # way back to a live system
+            if self.n_kf < 10 and not self._atlas_ready():
+                self._reset_pending = True
         elif self.state == LOST and self._atlas_ready() and (
             job.timestamp - self._lost_since
             > self.cfg.tracker.recently_lost_sec
@@ -843,8 +849,10 @@ class StereoVO:
         if self.n_kf >= 3:
             with self.timer.stage("mapping"):
                 self.map = self._mapping_fn(self.map, jnp.int32(self.ref_kf))
-        with self.timer.stage("local_ba"):
-            self._local_ba()
+        self._ba_tick = getattr(self, "_ba_tick", 0) + 1
+        if self._ba_tick % self.cfg.tracker.local_ba_every == 0:
+            with self.timer.stage("local_ba"):
+                self._local_ba()
         with self.timer.stage("culling"):
             self._culling()
         if self.loop_closer is not None:
@@ -1085,14 +1093,18 @@ class StereoVO:
         and timestamp sanity (tracking.cpp:1681-1715: a backwards or
         too-large forward jump abandons the current tracking thread
         state — here: fork a fresh map, or hard-reset without atlas)."""
-        if self._last_ts is not None and self.state != NOT_INITIALIZED:
-            dt = timestamp - self._last_ts
+        if (self._last_frame_ts is not None
+                and self.state != NOT_INITIALIZED):
+            dt = timestamp - self._last_frame_ts
             if dt < 0 or dt > self.cfg.tracker.max_timestamp_jump_sec:
                 if self._atlas_ready():
                     self._fork_pending = True
                 else:
                     self.reset()
-        self._last_ts = timestamp
+        self._last_frame_ts = timestamp
+        if getattr(self, "_reset_pending", False):
+            self._reset_pending = False
+            self.reset()
         if self._fork_pending:
             self.flush()
             if self._fork_pending:
@@ -1135,7 +1147,7 @@ class StereoVO:
         self.ref_pose_np = np.eye(4)
         self._last_good = (self.T_dev.R, self.T_dev.t)
         self.carry_dev = jnp.zeros((2,), jnp.int32)
-        self._last_ts = None
+        self._last_frame_ts = None
         if self.loop_closer is not None:
             self.loop_closer.reset_for_new_map()
 
@@ -1239,6 +1251,9 @@ class StereoVO:
         S = atlas_mod.weld_transform(
             S_cl, T_cur, T_cand, dtype=self.map.kf_t.dtype
         )
+        # subclass hook state: the inertial merge needs the weld to
+        # rotate velocities/gravity into the stored map's world frame
+        self._last_weld_S = S
         merged = atlas_mod.merge_into(
             sm.map, self.map, S, jnp.int32(kf_off), jnp.int32(mp_off)
         )

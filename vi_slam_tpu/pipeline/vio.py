@@ -124,6 +124,14 @@ class StereoInertialVO(StereoVO):
         self.imu_ready = False
         self._init_stage = 0  # 0 = none, 1 = first init, 2 = refined
         self.kf_chain: List[int] = []  # live KF slots in temporal order
+        # slots whose incoming chain edge has NO physical preintegration
+        # (first keyframe after an inertial map merge seam)
+        self._chain_breaks: set = set()
+        # bad-IMU detection (mbBadImu, localmapping.cpp:120-128): a
+        # divergent initialization forces an active-map reset instead of
+        # silently corrupting the map
+        self.bad_imu = False
+        self._init_attempts = 0
         # per-frame fixed-lag smoother window (the ISAM2/GTSAM capability
         # on the tracking path, gtsamoptimizer.h:107-262): device-resident,
         # threaded through every inertial frame dispatch
@@ -421,6 +429,25 @@ class StereoInertialVO(StereoVO):
 
         self._close_segment_fn = jax.jit(_close_segment)
 
+        def _weld_inertial(st_preint, st_vel, act_preint, act_vel, R_S,
+                           s_S, kf_off):
+            """Inertial map-merge weld: scatter the active map's chain
+            buffers into the stored map's at +kf_off; velocities rotate
+            (and scale) into the stored world, preintegration segments are
+            body-frame and copy unchanged."""
+            K = st_vel.shape[0]
+            k = jnp.arange(K, dtype=jnp.int32)
+            dstk = jnp.where(k + kf_off < K, k + kf_off, K)
+            preint = jax.tree.map(
+                lambda d, s: d.at[dstk].set(s, mode="drop"),
+                st_preint, act_preint,
+            )
+            vel_rot = s_S * jnp.einsum("ij,kj->ki", R_S, act_vel)
+            vel = st_vel.at[dstk].set(vel_rot, mode="drop")
+            return preint, vel
+
+        self._weld_inertial_fn = jax.jit(_weld_inertial)
+
         def _weld_segment(kf_preint, culled, nxt):
             """Keyframe culling: compose the culled KF's incoming segment
             into its successor's (MergePrevious semantics, imu.cpp:305)."""
@@ -436,15 +463,16 @@ class StereoInertialVO(StereoVO):
         INIT_K = 16
         self._init_k = INIT_K
 
-        def _gather_init(mstate, kf_preint, window):
+        def _gather_init(mstate, kf_preint, window, pre_ok):
             """Inputs for inertial init: body poses + stacked segments for
-            a (INIT_K,) -1-padded temporal window of chain slots."""
+            a (INIT_K,) -1-padded temporal window of chain slots; pre_ok
+            masks edges without a physical preintegration segment."""
             K = mstate.kf_R.shape[0]
             safe = jnp.clip(window, 0, K - 1)
             poses = SE3(mstate.kf_R[safe], mstate.kf_t[safe])
             Rwb, pwb = vi_ba._body_from_cam(poses, R_bc, t_bc)
             seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
-            valid = (window[1:] >= 0) & (window[:-1] >= 0)
+            valid = (window[1:] >= 0) & (window[:-1] >= 0) & pre_ok
             # seed gravity direction from accumulated velocity deltas
             # (InitializeIMU dirG accumulation, localmapping.cpp:1276)
             w = valid.astype(jnp.float32)
@@ -482,7 +510,7 @@ class StereoInertialVO(StereoVO):
         def _vi_ba_body(Wv, WF, WT, n_iters):
             @precise
             def _vi_local_ba(mstate, kf_preint, kf_vel, temporal, fixed_t,
-                             last_idx, bg, ba, g_w, ref_slot):
+                             pre_ok, last_idx, bg, ba, g_w, ref_slot):
                 """LocalInertialBA (optimizer.cpp:3974): the temporal
                 keyframe chain carries pose/vel/bias states and inertial
                 edges; on top, the most-covisible OUT-of-window keyframes
@@ -522,10 +550,17 @@ class StereoInertialVO(StereoVO):
                 safe = jnp.clip(window, 0, K - 1)
                 vel = kf_vel[safe]
                 seg = jax.tree.map(lambda x: x[safe[1:]], kf_preint)
-                # inertial edges only along the temporal chain prefix
+                # inertial edges only along the temporal chain prefix;
+                # pre_ok masks edges with no physical preintegration —
+                # the seam of an inertial map merge (MergeInertialBA must
+                # not link keyframes across the time gap,
+                # optimizer.cpp:6129 welding-window semantics)
                 ivalid = (
                     (window[1:] >= 0) & (window[:-1] >= 0)
                     & (jnp.arange(WT - 1) < Wv - 1)
+                    & jnp.concatenate(
+                        [pre_ok, jnp.zeros((WT - Wv,), bool)]
+                    )
                 )
                 dt = jnp.maximum(seg.dt, 1e-3)
                 prob = vi_ba.VIBAProblem(
@@ -587,6 +622,7 @@ class StereoInertialVO(StereoVO):
         """Oracle-feature inertial path (tests/benchmarks without the image
         frontend). `imu_samples`: (n, 7) [t, acc xyz, gyro xyz] in
         (t_prev, t_now]."""
+        self._pre_frame(timestamp)
         feats, ur, dp = make_oracle_features(
             self.cfg.extractor.n_features, xy, uright, depth, desc, level
         )
@@ -601,6 +637,7 @@ class StereoInertialVO(StereoVO):
         IMU chain couples consecutive frames only through device-resident
         state (accumulator, biases, marginal prior), so dispatches chain
         without host round trips."""
+        self._pre_frame(timestamp)
         if not self.imu_ready or self.state != OK or self._last_ts is None:
             self.flush()
             self._vio_pipelined = False
@@ -731,6 +768,201 @@ class StereoInertialVO(StereoVO):
                     self.kf_chain.pop(i)
         super()._apply_cull_info(info)
 
+    def _pre_frame(self, timestamp: float):
+        """Inertial pre-frame checks: a bad-IMU verdict forces an
+        active-map reset BEFORE the next frame is tracked
+        (Tracking::Track's mbBadImu branch, tracking.cpp:1670-1675 ->
+        ResetActiveMap). The bad map is discarded, not parked — its
+        geometry was built on a divergent inertial state."""
+        if self.bad_imu:
+            self.flush()
+            self.metrics.event("bad_imu_reset", kfs=self.n_kf)
+            m = self.cfg.map
+            from vi_slam_tpu.slam_map import state as map_state_mod
+
+            self.map = map_state_mod.allocate(
+                m.max_keyframes, self.cfg.extractor.n_features,
+                m.max_points, m.max_obs_per_point,
+            )
+            self.n_kf = 0
+            self.n_mp = 0
+            self.ref_kf = -1
+            self.culled_parent = {}
+            self.state = NOT_INITIALIZED
+            self.frames_since_kf = 0
+            self._ref_kf_tracked = 0
+            self.T_dev = SE3.identity()
+            self.vel_dev = SE3.identity()
+            self.T_np = np.eye(4)
+            self.ref_pose_np = np.eye(4)
+            self._last_good = (self.T_dev.R, self.T_dev.t)
+            self.carry_dev = jnp.zeros((2,), jnp.int32)
+            if self.loop_closer is not None:
+                self.loop_closer.reset_for_new_map()
+            self._reset_inertial_state()
+            self.bad_imu = False
+        super()._pre_frame(timestamp)
+
+    def _apply_map_scale(self, s: float):
+        """Rescale the whole map by s (mono-inertial metric recovery —
+        Map::ApplyScaledRotation semantics with R = I, map.h:152): every
+        translation-like quantity scales; rotations and body-frame
+        quantities (biases, preintegration) do not."""
+        sj = jnp.asarray(s, self.map.kf_t.dtype)
+        self.map = self.map._replace(
+            kf_t=self.map.kf_t * sj,
+            mp_pos=self.map.mp_pos * sj,
+            mp_min_dist=self.map.mp_min_dist * sj,
+            mp_max_dist=self.map.mp_max_dist * sj,
+        )
+        self.kf_vel_dev = self.kf_vel_dev * sj
+        self.vel_w_dev = self.vel_w_dev * sj
+        self.T_dev = SE3(self.T_dev.R, self.T_dev.t * sj)
+        self.vel_dev = SE3(self.vel_dev.R, self.vel_dev.t * sj)
+        self._last_good = (self.T_dev.R, self.T_dev.t)
+        self.T_np = self.T_np.copy()
+        self.T_np[:3, 3] *= s
+        self.ref_pose_np = self.ref_pose_np.copy()
+        self.ref_pose_np[:3, 3] *= s
+        for i, rec in enumerate(self.records):
+            T_rel = rec.T_rel.copy()
+            T_rel[:3, 3] *= s
+            self.records[i] = rec.__class__(
+                rec.frame_id, rec.timestamp, rec.ref_kf, T_rel,
+                rec.state, rec.map_id,
+            )
+        new_culled = {}
+        for k, (p, T) in self.culled_parent.items():
+            T2 = T.copy()
+            T2[:3, 3] *= s
+            new_culled[k] = (p, T2)
+        self.culled_parent = new_culled
+        self._reset_smoother()
+
+    def _pre_ok(self, window: np.ndarray, Wv: int) -> np.ndarray:
+        """(Wv-1,) bool: True where the chain edge window[i] -> window[i+1]
+        has a physical preintegration segment (False across merge seams)."""
+        out = np.ones((Wv - 1,), bool)
+        for i in range(Wv - 1):
+            if window[i + 1] < 0 or int(window[i + 1]) in self._chain_breaks:
+                out[i] = False
+        return out
+
+    def _reset_inertial_state(self):
+        """Fresh inertial state for a new (or reset) map."""
+        K = self.cfg.map.max_keyframes
+        ident = pre.identity_preintegrated()
+        self.kf_preint_dev = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (K, *x.shape)).copy(), ident
+        )
+        self.kf_vel_dev = jnp.zeros((K, 3), jnp.float32)
+        self.bg_dev = jnp.zeros((3,), jnp.float32)
+        self.ba_dev = jnp.zeros((3,), jnp.float32)
+        self.g_w_dev = jnp.zeros((3,), jnp.float32)
+        self.vel_w_dev = jnp.zeros((3,), jnp.float32)
+        self._accum = pre.identity_preintegrated()
+        self.prior_dev = pose_inertial.initial_prior(
+            SE3.identity(), jnp.zeros((3,)), jnp.zeros((3,)), jnp.zeros((3,))
+        )
+        self.imu_ready = False
+        self._init_stage = 0
+        self._init_attempts = 0
+        self.kf_chain = []
+        self._chain_breaks = set()
+        self._last_ts = None
+        self._vio_pipelined = False
+        self._reset_smoother()
+
+    # ------------------------------------------------- Atlas (inertial)
+
+    def _create_map_in_atlas(self):
+        """CreateMapInAtlas for the inertial pipeline: park the visual map
+        (super) WITH its inertial sidecar — preintegration chain, per-KF
+        velocities, biases, gravity — so a later merge can weld
+        gravity-consistent states (MergeLocal2 capability,
+        loopclosing.cpp:1021)."""
+        sidecar = {
+            "kf_preint": self.kf_preint_dev,
+            "kf_vel": self.kf_vel_dev,
+            "bg": self.bg_dev,
+            "ba": self.ba_dev,
+            "g_w": self.g_w_dev,
+            "imu_ready": self.imu_ready,
+            "init_stage": self._init_stage,
+            "kf_chain": list(self.kf_chain),
+            "chain_breaks": set(self._chain_breaks),
+        }
+        super()._create_map_in_atlas()
+        if self.atlas_stored:
+            self.atlas_stored[-1].inertial = sidecar
+        self._reset_inertial_state()
+
+    def reset(self):
+        super().reset()
+        self._reset_inertial_state()
+        self.bad_imu = False
+        self._last_ts = None
+
+    def _do_merge(self, si: int, cur: int, cand: int, S_cl, pairs) -> bool:
+        """Inertial map merge (MergeLocal2 + MergeInertialBA,
+        loopclosing.cpp:1021 / optimizer.cpp:6129): after the visual weld,
+        rotate the active chain's velocities into the stored world frame,
+        append its preintegration segments at the slot offset, mark the
+        seam edge as having no physical preintegration, and run a welding
+        visual-inertial BA over the seam window."""
+        sm = self.atlas_stored[si]
+        kf_off = sm.n_kf
+        act_preint = self.kf_preint_dev
+        act_vel = self.kf_vel_dev
+        act_chain = list(self.kf_chain)
+        act_breaks = set(self._chain_breaks)
+        act_ready = self.imu_ready
+        act_stage = self._init_stage
+        ok = super()._do_merge(si, cur, cand, S_cl, pairs)
+        if not ok:
+            return False
+        side = sm.inertial or {}
+        R_S = self._last_weld_S.R.astype(jnp.float32)
+        s_S = self._last_weld_S.s.astype(jnp.float32)
+        # weld the per-KF buffers: stored rows stay, active rows land at
+        # +kf_off with world-frame velocities rotated by the weld
+        st_preint = side.get("kf_preint", None)
+        st_vel = side.get("kf_vel", None)
+        if st_preint is None:
+            st_preint = jax.tree.map(jnp.copy, act_preint)
+            K = self.cfg.map.max_keyframes
+            st_vel = jnp.zeros((K, 3), jnp.float32)
+        self.kf_preint_dev, self.kf_vel_dev = self._weld_inertial_fn(
+            st_preint, st_vel, act_preint, act_vel, R_S, s_S,
+            jnp.int32(kf_off),
+        )
+        self.vel_w_dev = s_S * (R_S @ self.vel_w_dev)
+        # gravity: the merged map lives in the stored world frame — adopt
+        # the stored estimate when it has one, else rotate the active one
+        if side.get("imu_ready", False):
+            self.g_w_dev = side["g_w"]
+        else:
+            self.g_w_dev = R_S @ self.g_w_dev
+        # biases are body-frame and most recent in the active map: keep
+        self.kf_chain = list(side.get("kf_chain", [])) + [
+            s + kf_off for s in act_chain
+        ]
+        self._chain_breaks = set(side.get("chain_breaks", set()))
+        self._chain_breaks |= {s + kf_off for s in act_breaks}
+        if act_chain:
+            self._chain_breaks.add(act_chain[0] + kf_off)
+        self.imu_ready = act_ready or side.get("imu_ready", False)
+        self._init_stage = max(act_stage, side.get("init_stage", 0))
+        self.prior_dev = pose_inertial.initial_prior(
+            self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
+        )
+        self._reset_smoother()
+        # welding inertial BA over the seam (MergeInertialBA)
+        if self.imu_ready and len(self.kf_chain) >= 3:
+            self._full_inertial_ba()
+        self.metrics.event("inertial_merge", kf_offset=kf_off)
+        return True
+
     def _reset_smoother(self):
         """Drop the fixed-lag window (after inertial init the whole state
         basis — gravity frame, biases — changed; warm starts would be
@@ -782,24 +1014,67 @@ class StereoInertialVO(StereoVO):
         window = np.full((self._init_k,), -1, np.int32)
         chain = self.kf_chain[-self._init_k:]
         window[: len(chain)] = chain
+        pre_ok = np.asarray(
+            [w >= 0 and int(w) not in self._chain_breaks
+             for w in window[1:]], bool,
+        )
         Rwb, pwb, seg, valid, Rwg0 = self._gather_init_fn(
-            self.map, self.kf_preint_dev, jnp.asarray(window)
+            self.map, self.kf_preint_dev, jnp.asarray(window),
+            jnp.asarray(pre_ok),
         )
         mono = float(self.cam.bf) <= 0
+        # monocular keeps solving for scale at every stage: the later
+        # re-runs ARE the reference's ScaleRefinement
+        # (localmapping.cpp:1395) — gravity/bias observability and the
+        # visual map both improve, so the residual scale error shrinks
         res = iinit.inertial_init(
             Rwb, pwb, seg, valid,
             prior_g=prior_g, prior_a=prior_a,
-            optimize_scale=mono and not self.imu_ready,
+            optimize_scale=mono,
             gravity_mag=self.gravity_mag, Rwg0=Rwg0,
         )
-        got = jax.device_get({"cost": res.cost, "bg": res.bg})
+        got = jax.device_get({"cost": res.cost, "bg": res.bg,
+                              "ba": res.ba})
         costs = got["cost"]
+        n_edges = max(int(np.sum(np.asarray(jax.device_get(valid)))), 1)
+        self._last_init_cost = float(costs[-1]) / n_edges
         if not np.isfinite(costs[-1]) or costs[-1] > 0.5 * costs[0]:
-            return  # didn't converge enough; retry at the next keyframe
+            # didn't converge; repeated failure on a long-enough baseline
+            # means the IMU stream or its calibration is bad — force an
+            # active-map reset instead of tracking on a corrupt estimate
+            # (mbBadImu, localmapping.cpp:120-128, tracking.cpp:1670-1675)
+            self._init_attempts += 1
+            if self._init_stage == 0 and self._init_attempts >= 12:
+                self.bad_imu = True
+                self.metrics.event("bad_imu", attempts=self._init_attempts)
+            return
+        # divergence guards: physically impossible biases, or a
+        # "converged" solution whose residuals are astronomically out of
+        # the modeled noise (garbage IMU converges to a self-consistent
+        # nonsense state: measured ~5e7 per edge vs O(1e2) healthy)
+        if (np.linalg.norm(got["bg"]) > 1.0
+                or np.linalg.norm(got["ba"]) > 5.0
+                or self._last_init_cost > 1e5):
+            self._init_attempts += 1
+            self.bad_imu = True
+            self.metrics.event(
+                "bad_imu", reason="divergence",
+                cost=self._last_init_cost,
+            )
+            return
         self.bg_dev = res.bg
         self.ba_dev = res.ba
         g0 = jnp.asarray([0.0, 0.0, -self.gravity_mag], jnp.float32)
         self.g_w_dev = res.Rwg @ g0
+        if mono:
+            # ApplyScaledRotation capability (map.h:152 / ScaleRefinement
+            # localmapping.cpp:1395): re-express the whole visual map in
+            # metric units so the solved velocities/gravity are consistent
+            s = float(jax.device_get(res.scale))
+            if abs(s - 1.0) > 1e-4:
+                self._apply_map_scale(s)
+                self.metrics.event("scale_applied", scale=s,
+                                   stage=self._init_stage)
         last = len(chain) - 1
         self.kf_vel_dev, self.vel_w_dev = self._apply_init_fn(
             self.kf_vel_dev, jnp.asarray(window), res.vel,
@@ -844,6 +1119,7 @@ class StereoInertialVO(StereoVO):
          dt) = self._full_vi_ba_fn(
             self.map, self.kf_preint_dev, self.kf_vel_dev,
             jnp.asarray(window), jnp.asarray(fixed),
+            jnp.asarray(self._pre_ok(window, Wv)),
             jnp.int32(len(chain) - 1),
             self.bg_dev, self.ba_dev, self.g_w_dev, jnp.int32(self.ref_kf),
         )
@@ -872,6 +1148,7 @@ class StereoInertialVO(StereoVO):
          dt) = self._vi_ba_fn(
             self.map, self.kf_preint_dev, self.kf_vel_dev,
             jnp.asarray(window), jnp.asarray(fixed),
+            jnp.asarray(self._pre_ok(window, Wv)),
             jnp.int32(len(chain) - 1),
             self.bg_dev, self.ba_dev, self.g_w_dev, jnp.int32(self.ref_kf),
         )
@@ -917,3 +1194,109 @@ class StereoInertialVO(StereoVO):
             return st
         self.state = LOST
         return super()._handle_failure(job, st, T_np)
+
+
+class MonoInertialVO(StereoInertialVO):
+    """IMU_MONOCULAR sensor mode (system.h:96-102): monocular two-view
+    bootstrap + triangulated landmark growth (MonoVO) combined with the
+    full inertial stack (StereoInertialVO). The staged initializer solves
+    gravity AND metric scale (InertialOptimization with VertexScale,
+    optimizer.cpp:4697 / g2otypes.h:285), applies the scale to the map
+    (ApplyScaledRotation, map.h:152), and keeps refining it at later
+    stages (ScaleRefinement, localmapping.cpp:1395).
+
+    Implementation: the mono behaviors are borrowed from MonoVO by
+    composition — initialization, keyframe policy and triangulated point
+    creation are delegated to unbound MonoVO methods so the inertial
+    hooks of StereoInertialVO (_create_keyframe closing preintegration
+    segments, _on_keyframe_created driving the staged init) keep working
+    through the same super() chain they already use.
+    """
+
+    def __init__(self, cfg: SystemConfig, timer=None, vocab=None):
+        from vi_slam_tpu.pipeline.mono_vo import MonoVO
+
+        super().__init__(cfg, timer=timer, vocab=vocab)
+        if self.loop_closer is not None:
+            # mono-inertial: gravity+IMU make scale observable, so loop
+            # corrections stay SE3 once the IMU is initialized; before
+            # that the mono default (Sim3) would apply — the reference
+            # flips the same way (loopclosing fixed-scale for inertial)
+            self.loop_closer.fix_scale = True
+        self._mono = MonoVO  # unbound method source
+        self._init_ref = None
+        self._key = jax.random.PRNGKey(3)
+        MonoVO._build_mono_fns(self)
+
+    # --- mono behaviors, delegated explicitly (no diamond MRO) ---
+
+    def _initialize(self, feats, uright, depth, timestamp) -> bool:
+        return self._mono._initialize(self, feats, uright, depth, timestamp)
+
+    def _need_keyframe(self, n_in, n_tracked_close, n_creatable) -> bool:
+        return self._mono._need_keyframe(
+            self, n_in, n_tracked_close, n_creatable
+        )
+
+    def _create_kf_shell(self, feats, timestamp, frame_id=None):
+        """Mono-init keyframe shells (the two bootstrap KFs): close the
+        running preintegration into the slot and mark it as a chain
+        break — the accumulator spans back past the init reference frame,
+        so the stored segment is not the physical KF0->KF1 edge (the
+        staged initializer and VI-BA mask it; later edges are exact)."""
+        from vi_slam_tpu.pipeline.mono_vo import MonoVO
+
+        MonoVO._create_kf_shell(self, feats, timestamp, frame_id=frame_id)
+        slot = self.ref_kf
+        self.kf_preint_dev, self.kf_vel_dev, self._accum = (
+            self._close_segment_fn(
+                self.kf_preint_dev, self.kf_vel_dev, jnp.int32(slot),
+                self._accum, self.vel_w_dev, self.bg_dev, self.ba_dev,
+            )
+        )
+        self.kf_chain.append(slot)
+        self._chain_breaks.add(slot)
+
+    def _create_keyframe(self, feats, uright, depth, matched_mp, timestamp,
+                         pose_dev=None, frame_id=None, pose_np=None):
+        """Mono KF creation + inertial segment close: insert + triangulate
+        (MonoVO), then close the preintegration segment exactly like the
+        stereo-inertial path."""
+        self._mono._create_keyframe(
+            self, feats, uright, depth, matched_mp, timestamp,
+            pose_dev=pose_dev, frame_id=frame_id, pose_np=pose_np,
+        )
+        slot = self.ref_kf
+        self.kf_preint_dev, self.kf_vel_dev, self._accum = (
+            self._close_segment_fn(
+                self.kf_preint_dev, self.kf_vel_dev, jnp.int32(slot),
+                self._accum, self.vel_w_dev, self.bg_dev, self.ba_dev,
+            )
+        )
+        self.kf_chain.append(slot)
+        self._maybe_init_imu()
+
+    # ------------------------------------------------------------------ API
+
+    def process_oracle_mono_inertial(self, xy, desc, level, imu_samples,
+                                     timestamp: float) -> TrackStats:
+        """Oracle mono + IMU ingest (GrabImageMonocular + GrabImuData,
+        tracking.cpp:1320/:1362)."""
+        self._pre_frame(timestamp)
+        n = self.cfg.extractor.n_features
+        feats, ur, dp = make_oracle_features(
+            n, xy, np.full((len(xy),), -1.0), np.full((len(xy),), -1.0),
+            desc, level,
+        )
+        return self._inertial_entry(feats, ur, dp, imu_samples, timestamp)
+
+    def process_mono_inertial(self, img, imu_samples,
+                              timestamp: float) -> TrackStats:
+        """Image mono + IMU ingest."""
+        self._pre_frame(timestamp)
+        img = jnp.asarray(img, jnp.float32)
+        feats = self.extractor(img)
+        n = feats.xy.shape[0]
+        ur = jnp.full((n,), -1.0, jnp.float32)
+        dp = jnp.full((n,), -1.0, jnp.float32)
+        return self._inertial_entry(feats, ur, dp, imu_samples, timestamp)

@@ -52,6 +52,11 @@ class StoredMap:
     culled_parent: Dict[int, Tuple[int, np.ndarray]] = field(
         default_factory=dict
     )
+    # inertial sidecar (IMU maps only): preintegration chain, per-KF
+    # velocities, biases, gravity, chain bookkeeping — parked with the
+    # map so an inertial merge (MergeLocal2/MergeInertialBA semantics,
+    # loopclosing.cpp:1021, optimizer.cpp:6129) can weld them back
+    inertial: Optional[Dict[str, Any]] = None
 
 
 @jax.jit

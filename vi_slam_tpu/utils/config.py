@@ -111,6 +111,10 @@ class TrackerConfig:
     kf_point_budget: int = 384
     # run the map-maintenance chain (point/KF culling) every Nth keyframe
     maintenance_every: int = 1
+    # run local BA every Nth keyframe (the reference's tracking thread
+    # preempts a busy LocalMapping via InterruptBA, localmapping.cpp:941 —
+    # under keyframe-per-frame load it effectively skips BA runs too)
+    local_ba_every: int = 1
 
 
 @dataclass(frozen=True)
