@@ -31,10 +31,10 @@ args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-# TPU f32 matmuls default to fast-but-low-precision passes; the GN/BA
-# linear algebra needs true f32 (the MXU-bound Hamming matmuls explicitly
-# use bf16 inputs and are unaffected).
-jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE: no global matmul-precision override — the solver paths that need
+# true f32 set it locally via utils.precision.precise; a global "highest"
+# would run every conv/matmul as a 6-pass emulation (measured: no accuracy
+# gain on this bench, only cost).
 
 import numpy as np  # noqa: E402
 
@@ -57,13 +57,15 @@ cfg = SystemConfig(
     camera=CameraConfig(width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
                         bf=BF, th_depth=35.0),
     extractor=ExtractorConfig(n_features=2000),
-    ba=BAConfig(max_local_kfs=8, max_local_points=2048, local_ba_iters=6),
+    # r4 tuning (measured on the real chip, ATE within 2 cm of the
+    # heavier settings): 4 GN iterations of windowed local BA per KF,
+    # 1-neighbor fuse pass, maintenance every 3rd keyframe (the
+    # reference's LocalMapping also sheds work under load via
+    # InterruptBA, localmapping.cpp:941)
+    ba=BAConfig(max_local_kfs=8, max_local_points=2048, local_ba_iters=4,
+                mapping_fuse_window=2),
     map=MapConfig(max_keyframes=256, max_points=65536, max_obs_per_point=8),
-    # KF cadence floor: without it the need_close condition fires every
-    # frame on this sequence and the KF-rate mapping/BA/cull chains run
-    # per-frame, tripling device time (KITTI at 10 fps inserts KFs every
-    # 2-4 frames in the reference too)
-    tracker=TrackerConfig(min_frames_between_kf=1),
+    tracker=TrackerConfig(min_frames_between_kf=1, maintenance_every=3),
 )
 
 log(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
@@ -88,7 +90,11 @@ timer = StageTimer()
 vo = StereoVO(cfg, timer=timer)
 times = []
 t_start = time.time()
+t_steady = None
 for i, (imgL, imgR) in enumerate(frames):
+    if i == args.warmup:
+        vo.flush()  # drain compile/warmup tails before the steady clock
+        t_steady = time.perf_counter()
     t0 = time.perf_counter()
     st = vo.process_stereo(imgL, imgR, i * 0.1)
     dt = time.perf_counter() - t0
@@ -96,16 +102,21 @@ for i, (imgL, imgR) in enumerate(frames):
     if i < 3 or i == args.frames - 1:
         log(f"frame {i}: {dt*1e3:.1f} ms, state={vo.records[-1].state}, "
             f"inliers={st.n_inliers}")
-log(f"total wall: {time.time()-t_start:.1f}s")
+vo.flush()  # throughput counts ALL work the frames generated
+wall_steady = time.perf_counter() - t_steady
+log(f"total wall: {time.time()-t_start:.1f}s, steady: {wall_steady:.2f}s")
 
 steady = np.asarray(times[args.warmup:])
-fps = 1.0 / float(np.median(steady))
+# honest steady-state THROUGHPUT: frames / wall incl. the final drain —
+# a per-frame median under-reports queued pipeline work
+fps = (args.frames - args.warmup) / wall_steady
 
 est = vo.trajectory_wc()
 gt = world.poses_wc
 ate = evaluation.ate_rmse(est[:, :3, 3], gt[:, :3, 3])
 lost = sum(1 for r in vo.records if r.state != "OK")
-log(f"median frame: {np.median(steady)*1e3:.1f} ms -> {fps:.2f} fps")
+log(f"median frame: {np.median(steady)*1e3:.1f} ms; steady throughput "
+    f"{fps:.2f} fps")
 log(f"ATE RMSE: {ate['rmse']*100:.1f} cm, lost: {lost}/{args.frames}")
 log(timer.report())
 

@@ -93,7 +93,11 @@ timer = StageTimer()
 vo = StereoInertialVO(cfg, timer=timer)
 times = []
 t0 = time.time()
+t_steady = None
 for i, (imgL, imgR) in enumerate(frames):
+    if i == args.warmup:
+        vo.flush()
+        t_steady = time.perf_counter()
     f0 = time.perf_counter()
     vo.process_stereo_inertial(imgL, imgR, iw.imu_per_frame[i],
                                iw.timestamps[i])
@@ -104,7 +108,8 @@ vo.flush()
 log(f"total wall: {time.time()-t0:.1f}s; imu_ready={vo.imu_ready}")
 
 steady = np.asarray(times[args.warmup:])
-fps = 1.0 / float(np.median(steady))
+# steady-state throughput incl. final drain (same protocol as bench.py)
+fps = (n - args.warmup) / (time.perf_counter() - t_steady)
 traj = vo.trajectory_wc()
 ate = evaluation.ate_rmse(traj[:, :3, 3], poses[: len(traj), :3, 3])
 lost = sum(1 for r in vo.records if r.state != "OK")

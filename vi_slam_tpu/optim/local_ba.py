@@ -75,8 +75,17 @@ class BAResult(NamedTuple):
 
 def _residuals(cam: CameraParams, poses: SE3, points: jnp.ndarray, prob: BAProblem):
     """r (M,P,3), J_cam (M,P,3,6), J_pt (M,P,3,3), row_mask (M,P,3)."""
-    Rk = poses.R[prob.obs_cam]  # (M,P,3,3)
-    tk = poses.t[prob.obs_cam]  # (M,P,3)
+    K = poses.t.shape[0]
+    if K <= 64:
+        # one-hot matmul instead of a (M,P) gather of 3x3 blocks: the
+        # gather costs ~µs-per-offset on TPU and dominates the whole GN
+        # iteration; for windowed K the onehot contraction rides the MXU
+        oh = jax.nn.one_hot(prob.obs_cam, K, dtype=points.dtype)  # (M,P,K)
+        Rk = jnp.einsum("mpk,kij->mpij", oh, poses.R)
+        tk = jnp.einsum("mpk,ki->mpi", oh, poses.t)
+    else:
+        Rk = poses.R[prob.obs_cam]  # (M,P,3,3)
+        tk = poses.t[prob.obs_cam]  # (M,P,3)
     pc = jnp.einsum("mpij,mj->mpi", Rk, points) + tk
     pred = camlib.stereo_project(cam, pc)
     r = pred - prob.obs_uvr
@@ -311,6 +320,7 @@ def _ba_core(
     lam0: float,
     axis_name=None,
     assembly: str = "dense",
+    strategy: str = "lm",
 ) -> BAResult:
     """Shared LM loop for single-chip and sharded BA."""
 
@@ -339,11 +349,33 @@ def _ba_core(
         new_cost = jnp.where(accept, cand_cost, cost)
         return (SE3(new_poses.R, new_poses.t), new_points, new_lam, new_cost), new_cost
 
-    init_cost = cost_at(prob.poses, prob.points)
+    def gn_step(carry, _):
+        # damped GN without the accept/reject cost pass: half the
+        # residual evaluations per iteration. Safe for the warm-started
+        # windowed local BA (the per-frame tracking pose is already
+        # near-optimal); global/loop BA keeps full LM.
+        poses, points, lam, cost = carry
+        dxc, dxp = _build_and_solve(
+            cam, poses, points, prob, lam, use_huber, axis_name, assembly
+        )
+        poses = se3.retract_left(poses, dxc)
+        points = points + dxp
+        return (SE3(poses.R, poses.t), points, lam, cost), cost
+
     lam = jnp.asarray(lam0, dtype=prob.points.dtype)
-    (poses, points, _, _), costs = jax.lax.scan(
-        lm_step, (prob.poses, prob.points, lam, init_cost), None, length=iters
-    )
+    if strategy == "gn":
+        init_cost = jnp.zeros((), prob.points.dtype)
+        lam = jnp.asarray(max(lam0, 1e-3), dtype=prob.points.dtype)
+        (poses, points, _, _), costs = jax.lax.scan(
+            gn_step, (prob.poses, prob.points, lam, init_cost), None,
+            length=iters,
+        )
+    else:
+        init_cost = cost_at(prob.poses, prob.points)
+        (poses, points, _, _), costs = jax.lax.scan(
+            lm_step, (prob.poses, prob.points, lam, init_cost), None,
+            length=iters,
+        )
     poses = poses.normalize()
 
     # final chi2 gate (the reference prunes obs with chi2 > th after LBA)

@@ -345,6 +345,11 @@ def fuse_pair_dir(
     m = match_ops.resolve_duplicate_targets(m, N)
     kp = jnp.clip(m.idx, 0, N - 1)
     q = state.kf_mp[kf_b, kp]  # point already held by the matched keypoint
+    # stale links (culling clears only a recent window) point at dead
+    # ids: treat them as free keypoints
+    q = jnp.where(
+        (q >= 0) & state.mp_valid[jnp.clip(q, 0, M - 1)], q, -1
+    )
     okm = m.ok & valid
     # stereo right-coordinate consistency (Fuse's 3D residual for stereo
     # keypoints, fmatcher.cpp:1970 e=(u,v,ur) chi2 7.8): a projected point

@@ -1038,7 +1038,14 @@ class StereoInertialVO(StereoVO):
         costs = got["cost"]
         n_edges = max(int(np.sum(np.asarray(jax.device_get(valid)))), 1)
         self._last_init_cost = float(costs[-1]) / n_edges
-        if not np.isfinite(costs[-1]) or costs[-1] > 0.5 * costs[0]:
+        # acceptance: finite, improving, and residuals within the modeled
+        # noise band (absolute per-edge chi2). A must-halve ratio gate is
+        # wrong on noisier sequences — a solve that starts near the optimum
+        # legitimately improves by less (measured: real billboard imagery
+        # converges at ratio ~0.53 with healthy per-edge cost ~1e4)
+        if (not np.isfinite(costs[-1])
+                or costs[-1] > 0.95 * costs[0]
+                or self._last_init_cost > 1e5):
             # didn't converge; repeated failure on a long-enough baseline
             # means the IMU stream or its calibration is bad — force an
             # active-map reset instead of tracking on a corrupt estimate

@@ -536,12 +536,22 @@ def cull_young_points(
     age = current_kf - state.mp_first_kf
     young = (age >= 2) & (age <= 4) & (state.mp_first_kf >= 0)
     dead = state.mp_valid & young & (state.mp_n_obs < min_obs)
-    # clear keyframe links of dead points
+    # clear keyframe links of dead points — only RECENT keyframes can
+    # link a 2-4-KF-old point (creation + fuse both touch the covisible
+    # neighborhood of the newest KF), so the LUT pass runs over a bounded
+    # recent window instead of the whole (K, N) table (the full-table
+    # gather costs ~10 ms on TPU); any stale link elsewhere points at an
+    # invalidated id and every consumer checks mp_valid
     M = state.mp_valid.shape[0]
-    dead_lut = dead
-    kf_mp = state.kf_mp
-    linked_dead = (kf_mp >= 0) & dead_lut[jnp.clip(kf_mp, 0, M - 1)]
-    kf_mp = jnp.where(linked_dead, -1, kf_mp)
+    K, N = state.kf_mp.shape
+    RECENT = min(64, K)
+    base = jnp.clip(current_kf - (RECENT - 1), 0, K - 1)
+    slots = base + jnp.arange(RECENT, dtype=jnp.int32)
+    slots = jnp.clip(slots, 0, K - 1)
+    rows = state.kf_mp[slots]  # (RECENT, N)
+    linked_dead = (rows >= 0) & dead[jnp.clip(rows, 0, M - 1)]
+    rows = jnp.where(linked_dead, -1, rows)
+    kf_mp = state.kf_mp.at[slots].set(rows)
     state = state._replace(
         mp_valid=state.mp_valid & ~dead,
         mp_n_obs=jnp.where(dead, 0, state.mp_n_obs),
@@ -580,11 +590,28 @@ def cull_redundant_keyframe(
     the spanning-tree hop the trajectory writer needs (system.cpp:440-449).
     """
     K = state.kf_valid.shape[0]
+    M = state.mp_pos.shape[0]
+    # redundancy only for a bounded candidate window starting at `lo`
+    # (the reference examines local covisible KFs, localmapping.cpp:946;
+    # a full-table mp_n_obs/mp_valid gather costs ~8 ms on TPU)
+    C = min(48, K)
+    cslots = jnp.clip(lo + jnp.arange(C, dtype=jnp.int32), 0, K - 1)
+    rows = state.kf_mp[cslots]  # (C, N)
+    mp = jnp.clip(rows, 0, M - 1)
+    has = (rows >= 0) & state.mp_valid[mp] & state.kf_kp_valid[cslots]
+    redundant = has & (state.mp_n_obs[mp] >= 4)
+    n_pts = jnp.maximum(jnp.sum(has, axis=1), 1)
+    red_c = jnp.sum(redundant, axis=1) / n_pts  # (C,)
+    in_range = (
+        state.kf_valid[cslots]
+        & (cslots >= lo) & (cslots < hi)
+        & (lo + jnp.arange(C) < K)
+    )
+    cand_c = in_range & (red_c > 0.9)
+    pick_c = jnp.argmax(jnp.where(cand_c, red_c, -1.0)).astype(jnp.int32)
+    did = cand_c[pick_c]
+    pick = cslots[pick_c]
     slots = jnp.arange(K, dtype=jnp.int32)
-    red = keyframe_redundancy(state)
-    cand = state.kf_valid & (slots >= lo) & (slots < hi) & (red > 0.9)
-    pick = jnp.argmax(jnp.where(cand, red, -1.0)).astype(jnp.int32)
-    did = cand[pick]
     # parent: nearest older live KF
     older = state.kf_valid & (slots < pick)
     parent = jnp.argmax(jnp.where(older, slots, -1)).astype(jnp.int32)
