@@ -156,7 +156,11 @@ def test_stereo_scanline_recovers_disparity(textured_pair):
     )
     ok = np.asarray(sm.ok & fL.valid)
     disp = np.asarray(fL.xy[:, 0] - sm.u_right)[ok]
-    assert ok.sum() > 50, f"only {ok.sum()} stereo matches"
+    # the median-SAD sweep (frame.cpp:960-978) trims the high-SAD tail
+    # even of an all-correct population, so the count bound is lower than
+    # the raw candidate count; the disparity assertions below are the
+    # real gate
+    assert ok.sum() > 25, f"only {ok.sum()} stereo matches"
     med = float(np.median(disp))
     assert abs(med - D) < 0.75, f"median disparity {med} vs gt {D}"
     frac_good = float(np.mean(np.abs(disp - D) < 1.5))

@@ -105,6 +105,8 @@ def _from_orbslam_settings(d: dict) -> cfglib.SystemConfig:
     sensor = (
         cfglib.Sensor.IMU_STEREO
         if imu_kw and camera.bf > 0
+        else cfglib.Sensor.IMU_MONOCULAR
+        if imu_kw
         else cfglib.Sensor.STEREO
         if camera.bf > 0
         else cfglib.Sensor.MONOCULAR

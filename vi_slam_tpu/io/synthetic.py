@@ -287,6 +287,7 @@ def make_inertial_world(
     noise_gyro: float = 1.7e-4,
     noise_acc: float = 2.0e-3,
     excitation: float = 1.0,
+    closed_loop: bool = False,
 ) -> InertialWorld:
     """Analytic smooth trajectory (closed-form velocity/acceleration) in the
     KITTI camera convention (x right, y down, z forward; gravity +y) with
@@ -324,6 +325,41 @@ def make_inertial_world(
 
     def yawdot(t):
         return yaw0 * wyaw * np.cos(wyaw * t)
+
+    if closed_loop:
+        # Circular return-to-start path (heading tangent to the circle):
+        # the last frame re-observes the first frame's scene, which is the
+        # geometry loop-closure benchmarks need (LoopClosing::Run,
+        # loopclosing.cpp:44-253). Arc speed matches `speed`; the lateral
+        # oscillation keeps IMU excitation for bias observability.
+        T_total = n_frames / fps
+        w_c = 2.0 * np.pi / T_total
+        Rr = speed / w_c
+
+        def pos(t):  # noqa: F811
+            th = w_c * np.asarray(t)
+            return np.stack(
+                [Rr * (1.0 - np.cos(th)), ay_ * np.sin(wy_ * t),
+                 Rr * np.sin(th)], axis=-1)
+
+        def vel(t):  # noqa: F811
+            th = w_c * np.asarray(t)
+            return np.stack(
+                [Rr * w_c * np.sin(th), ay_ * wy_ * np.cos(wy_ * t),
+                 Rr * w_c * np.cos(th)], axis=-1)
+
+        def acc(t):  # noqa: F811
+            th = w_c * np.asarray(t)
+            return np.stack(
+                [Rr * w_c ** 2 * np.cos(th),
+                 -ay_ * wy_ ** 2 * np.sin(wy_ * t),
+                 -Rr * w_c ** 2 * np.sin(th)], axis=-1)
+
+        def yaw(t):  # noqa: F811
+            return w_c * np.asarray(t)
+
+        def yawdot(t):  # noqa: F811
+            return w_c * np.ones_like(np.asarray(t))
 
     def roty(y):
         c, s = np.cos(y), np.sin(y)
@@ -378,6 +414,61 @@ def make_inertial_world(
         world=world, imu_per_frame=imu_per_frame, vel_w=vels,
         gravity_w=g_w, bias_gyro=bg, bias_acc=ba, timestamps=t_frames,
     )
+
+
+def make_billboard_inertial_sequence(
+    n_frames: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    bf: float,
+    fps: float = 10.0,
+    n_landmarks: int = 2000,
+    n_boards: int = 4000,
+    seed: int = 5,
+    excitation: float = 1.0,
+    closed_loop: bool = False,
+) -> Tuple[InertialWorld, BillboardWorld, List]:
+    """Shared image+IMU bench sequence: an inertial world plus textured
+    billboards rendered as stereo pairs along its trajectory (the world
+    bench_vio.py / diagnostics / loop benches all draw from, so their
+    numbers are comparable). Returns (inertial_world, billboard_world,
+    [(imgL, imgR), ...]). With closed_loop=True the trajectory returns to
+    its start (loop-closure benchmarkable, LoopClosing::Run semantics)."""
+    iw = make_inertial_world(
+        n_frames=n_frames, fps=fps, n_landmarks=n_landmarks, seed=seed,
+        excitation=excitation,
+        **({"closed_loop": True} if closed_loop else {}),
+    )
+    poses = iw.world.poses_wc
+    rng = np.random.default_rng(seed + 2)
+    centers = poses[rng.integers(0, n_frames, n_boards), :3, 3]
+    offs = np.stack(
+        [rng.uniform(-14.0, 14.0, n_boards),
+         rng.uniform(-6.0, 3.0, n_boards),
+         rng.uniform(2.0, 45.0, n_boards)], axis=-1,
+    )
+    G = 5
+    bw = BillboardWorld(
+        centers=centers + offs,
+        sizes=rng.uniform(0.15, 0.7, n_boards),
+        intensities=rng.uniform(60.0, 255.0, n_boards),
+        poses_wc=poses,
+        textures=rng.uniform(30.0, 255.0, (n_boards, G, G)).astype(
+            np.float32
+        ),
+    )
+    frames = []
+    for i in range(n_frames):
+        imgL = render_billboard_image(
+            bw, poses[i], fx, fy, cx, cy, width, height, baseline=0.0)
+        imgR = render_billboard_image(
+            bw, poses[i], fx, fy, cx, cy, width, height, baseline=bf / fx)
+        frames.append((imgL, imgR))
+    return iw, bw, frames
 
 
 def render_oracle_frame_fisheye(

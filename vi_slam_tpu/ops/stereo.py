@@ -56,7 +56,8 @@ def _gather_patch(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, hw: int, h
     return jax.vmap(one)(y0, x0)
 
 
-@partial(jax.jit, static_argnames=("max_hamming",))
+@partial(jax.jit,
+         static_argnames=("max_hamming", "use_mutual", "use_median"))
 def match_stereo(
     left: Features,
     right: Features,
@@ -68,6 +69,8 @@ def match_stereo(
     min_disp: float = 0.0,
     max_disp: float = 400.0,
     max_hamming: int = 80,
+    use_mutual: bool = True,
+    use_median: bool = True,
 ) -> StereoMatches:
     """Associate left features with right features and refine disparity.
 
@@ -98,6 +101,19 @@ def match_stereo(
     )
     idx, best, _ = masked_min2(D, mask)
     coarse_ok = best <= max_hamming
+    # left-right mutual consistency: in cluttered scenes many left
+    # features tie onto the same right feature at a wrong disparity; the
+    # dense distance matrix makes the reverse argmin free, so require the
+    # match to be mutual (a stricter gate than the reference's one-way
+    # scan — measured necessary on dense billboard worlds where 60%+ of
+    # one-way scanline matches are wrong)
+    if use_mutual:
+        Dm = jnp.where(mask, D, jnp.int32(1 << 14))
+        bestR = jnp.min(Dm, axis=0)  # best distance per right keypoint
+        # tie-tolerant: identical descriptors (repeated synthetic
+        # texture) must not knock each other out, so equality passes
+        mutual = best <= bestR[idx]
+        coarse_ok = coarse_ok & mutual
 
     # --- subpixel SAD refinement at the left keypoint's level ---
     # per-keypoint atlas coordinates: level coords + the level's row offset
@@ -116,10 +132,16 @@ def match_stereo(
     cxR = jnp.clip(jnp.round(uR0_lvl).astype(jnp.int32), 0, aw - 1)
     patchL = _gather_patch(atlas_left, cxL, cy, _W, _W)  # (N, 11, 11)
     strip = _gather_patch(atlas_right, cxR, cy, _W + _L, _W)  # (N, 11, 21)
+    # center-pixel normalization (frame.cpp:887): each window is compared
+    # after subtracting its own center value — removes the illumination
+    # offset and makes the SAD populations of correct vs wrong matches
+    # separable for the median sweep below
+    patchL = patchL - patchL[:, _W : _W + 1, _W : _W + 1]
     # 11 shifted windows from the strip: shift s in [-L, L]
     sads = []
     for s in range(2 * _L + 1):
         win = jax.lax.dynamic_slice_in_dim(strip, s, 2 * _W + 1, axis=2)
+        win = win - win[:, _W : _W + 1, _W : _W + 1]
         sads.append(jnp.sum(jnp.abs(win - patchL), axis=(1, 2)))
     sad = jnp.stack(sads, axis=-1)  # (N, 11)
     bi = jnp.argmin(sad, axis=-1)
@@ -143,6 +165,20 @@ def match_stereo(
         & (disparity > jnp.maximum(min_disp, 1e-3))
         & (disparity <= max_disp)
     )
+    # median-SAD outlier sweep (frame.cpp:960-978): matches whose refined
+    # SAD cost sits far above the population median are wrong-surface
+    # associations; threshold = 1.5 * 1.4 * median of accepted costs
+    if use_median:
+        n = ok.shape[0]
+        sorted_sad = jnp.sort(jnp.where(ok, smin, jnp.inf))
+        n_ok = jnp.sum(ok)
+        med = sorted_sad[jnp.clip((n_ok - 1) // 2, 0, n - 1)]
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        # absolute floor: on noiseless synthetic imagery correct matches
+        # can reach SAD == 0 exactly, collapsing the median; 2 gray
+        # levels per pixel over the 11x11 window keeps those intact
+        floor = (2 * _W + 1) ** 2 * 2.0
+        ok = ok & (smin < jnp.maximum(1.5 * 1.4 * med, floor))
     depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-3), -1.0)
     u_right = jnp.where(ok, u_right, -1.0)
     return StereoMatches(u_right=u_right, depth=depth, ok=ok)

@@ -357,6 +357,8 @@ class StereoVO:
             sm = stereo_ops.match_stereo(
                 featsL, featsR, atlasL, atlasR, row_offs, level_scales,
                 cam.bf, max_disp=float(cfg.camera.bf / 0.5),
+                use_mutual=cfg.matcher.stereo_mutual,
+                use_median=cfg.matcher.stereo_median_sweep,
             )
             uright = jnp.where(sm.ok, sm.u_right, -1.0)
             depth = jnp.where(sm.ok, sm.depth, -1.0)
@@ -1321,6 +1323,31 @@ class StereoVO:
         self.metrics.event("map_merge", into_map=self.active_map_id,
                            kf_offset=kf_off, mp_offset=mp_off)
         return True
+
+    def _freeze_active_records(self):
+        """Resolve every active-map FrameRecord to an ABSOLUTE camera pose
+        (ref_kf = -1). Used before discarding the active map (bad-IMU
+        reset): the records' reference-KF slots would otherwise dangle
+        into a freshly allocated identity-pose table."""
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        culled = self.culled_parent
+        for i, rec in enumerate(self.records):
+            if rec.map_id != self.active_map_id or rec.ref_kf < 0:
+                continue
+            ref = rec.ref_kf
+            T_chain = np.eye(4)
+            while ref in culled:
+                parent, T_rel = culled[ref]
+                T_chain = T_chain @ T_rel
+                ref = parent
+            T_ref = np.eye(4)
+            T_ref[:3, :3] = kf_R[ref]
+            T_ref[:3, 3] = kf_t[ref]
+            Tcw = rec.T_rel @ T_chain @ T_ref
+            self.records[i] = FrameRecord(
+                rec.frame_id, rec.timestamp, -1, Tcw, rec.state, rec.map_id
+            )
 
     def _record(self, job: FrameJob, T_np, ref_pose_np, ref_kf, state):
         if ref_kf >= 0:

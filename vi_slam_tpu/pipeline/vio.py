@@ -761,11 +761,20 @@ class StereoInertialVO(StereoVO):
                 i = self.kf_chain.index(slot)
                 if 0 < i < len(self.kf_chain) - 1:
                     nxt = self.kf_chain[i + 1]
-                    self.kf_preint_dev = self._weld_segment_fn(
-                        self.kf_preint_dev, jnp.int32(slot), jnp.int32(nxt)
-                    )
+                    if slot in self._chain_breaks:
+                        # the culled slot sits on a merge/init seam: its
+                        # incoming "segment" is nonphysical, so welding it
+                        # into the successor would fabricate an IMU edge —
+                        # transfer the break flag instead
+                        self._chain_breaks.add(nxt)
+                    else:
+                        self.kf_preint_dev = self._weld_segment_fn(
+                            self.kf_preint_dev, jnp.int32(slot),
+                            jnp.int32(nxt),
+                        )
                 if i > 0:
                     self.kf_chain.pop(i)
+            self._chain_breaks.discard(slot)
         super()._apply_cull_info(info)
 
     def _pre_frame(self, timestamp: float):
@@ -777,6 +786,11 @@ class StereoInertialVO(StereoVO):
         if self.bad_imu:
             self.flush()
             self.metrics.event("bad_imu_reset", kfs=self.n_kf)
+            # Freeze pre-reset trajectory records to ABSOLUTE poses before
+            # the map (and its keyframe table) is discarded: their ref_kf
+            # slots would otherwise resolve against the freshly allocated
+            # identity-pose table and export a corrupted segment.
+            self._freeze_active_records()
             m = self.cfg.map
             from vi_slam_tpu.slam_map import state as map_state_mod
 
@@ -825,6 +839,10 @@ class StereoInertialVO(StereoVO):
         self.ref_pose_np = self.ref_pose_np.copy()
         self.ref_pose_np[:3, 3] *= s
         for i, rec in enumerate(self.records):
+            # only active-map records: parked Atlas maps are NOT scaled,
+            # so their records' reference keyframes stay consistent as-is
+            if rec.map_id != self.active_map_id:
+                continue
             T_rel = rec.T_rel.copy()
             T_rel[:3, 3] *= s
             self.records[i] = rec.__class__(
@@ -910,6 +928,12 @@ class StereoInertialVO(StereoVO):
         append its preintegration segments at the slot offset, mark the
         seam edge as having no physical preintegration, and run a welding
         visual-inertial BA over the seam window."""
+        # drain in-flight frames BEFORE snapshotting the inertial state:
+        # super()._do_merge flushes first, and that flush can finalize
+        # frames, create keyframes (appending to kf_chain / closing
+        # preintegration segments) and even run _maybe_init_imu — a
+        # pre-flush snapshot would drop those KFs from the welded chain
+        self.flush()
         sm = self.atlas_stored[si]
         kf_off = sm.n_kf
         act_preint = self.kf_preint_dev

@@ -73,6 +73,15 @@ class MatcherConfig:
     nn_ratio: float = 0.9
     check_orientation: bool = True
     histo_bins: int = 30
+    # stereo scanline-match outlier gates (ops/stereo.py). The
+    # median-SAD sweep is reference semantics (frame.cpp:960-978) and is
+    # the r5 accuracy fix: dense repeated-texture worlds went 207 cm ->
+    # 0.3 cm ATE with it on. The tie-tolerant left-right mutual check is
+    # an optional extra gate; measured it over-prunes (ties on repeated
+    # texture) without improving ATE once the median sweep runs, so it
+    # defaults off.
+    stereo_mutual: bool = False
+    stereo_median_sweep: bool = True
 
 
 @dataclass(frozen=True)
