@@ -27,6 +27,7 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--frames", type=int, default=40)
 parser.add_argument("--warmup", type=int, default=5)
+parser.add_argument("--frontend", default="orb", choices=["orb", "klt"])
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -39,7 +40,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 from vi_slam_tpu.io import evaluation, synthetic  # noqa: E402
-from vi_slam_tpu.pipeline.stereo_vo import StereoVO  # noqa: E402
+from vi_slam_tpu.pipeline.klt_vo import make_stereo_vo  # noqa: E402
 from vi_slam_tpu.utils.config import (  # noqa: E402
     BAConfig, CameraConfig, ExtractorConfig, MapConfig, SystemConfig,
     TrackerConfig,
@@ -65,7 +66,8 @@ cfg = SystemConfig(
     ba=BAConfig(max_local_kfs=8, max_local_points=2048, local_ba_iters=4,
                 mapping_fuse_window=2),
     map=MapConfig(max_keyframes=256, max_points=65536, max_obs_per_point=8),
-    tracker=TrackerConfig(min_frames_between_kf=1, maintenance_every=3),
+    tracker=TrackerConfig(min_frames_between_kf=1, maintenance_every=3,
+                          frontend=args.frontend),
 )
 
 log(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
@@ -87,7 +89,7 @@ for i in range(args.frames):
 from vi_slam_tpu.utils.timing import StageTimer  # noqa: E402
 
 timer = StageTimer()
-vo = StereoVO(cfg, timer=timer)
+vo = make_stereo_vo(cfg, timer=timer)
 times = []
 t_start = time.time()
 t_steady = None

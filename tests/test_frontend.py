@@ -217,6 +217,9 @@ def test_pallas_extractor_path(textured_pair):
     try:
         cfg_p = dataclasses.replace(cfg, use_pallas_fast=True)
         ext_p = OrbExtractor(cfg_p, left.shape[0], left.shape[1])
+        # the backend gate would fall back to XLA on CPU; force the
+        # pallas branch so interpret mode actually runs it
+        ext_p._pallas_ok = True
         fp = ext_p(jnp.asarray(left))
     finally:
         fast_pallas.fast_resp_pref = orig

@@ -19,6 +19,8 @@ from vi_slam_tpu.utils.config import (
     SystemConfig, TrackerConfig,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute image/e2e pipelines
+
 WIDTH, HEIGHT = 640, 480
 FX = FY = 500.0
 CX, CY = 320.0, 240.0

@@ -91,6 +91,28 @@ def detect_all(im):
 
 bench_queued("pyramid+FAST detect", jax.jit(detect_all), img_l)
 
+
+def detect_all_pallas(im):
+    from vi_slam_tpu.ops import fast_pallas
+
+    lv = pyr_ops.build_pyramid(im, ext_cfg.n_levels, ext_cfg.scale_factor)
+    outs = []
+    for l, img in enumerate(lv):
+        b = ext.budgets[l]
+        if b <= 0:
+            continue
+        pref = fast_pallas.fast_resp_pref(
+            img, ext_cfg.fast_threshold, ext_cfg.fast_min_threshold)
+        outs.append(fast_ops.select_keypoints(pref, ext_cfg.cell_size, b))
+    return outs
+
+
+try:
+    bench_queued("pyramid+FAST detect (pallas)", jax.jit(detect_all_pallas),
+                 img_l)
+except Exception as e:  # pallas lowering may be unsupported on a backend
+    print(f"pallas FAST failed: {type(e).__name__}: {e}", file=sys.stderr)
+
 # pieces of the atlas path
 SEP = 21
 
@@ -140,8 +162,20 @@ jax.block_until_ready(uright)
 bench_queued("_track", vo._track_fn, vo.map, jnp.int32(max(vo.ref_kf, 0)),
              featsL2, uright, depth, vo.T_dev, vo.vel_dev)
 imgs_u8 = jnp.asarray(np.stack([imgL, imgR]).astype(np.uint8))
-bench_queued("full _frame_fn", vo._frame_fn, imgs_u8, vo.map,
-             jnp.int32(max(vo.ref_kf, 0)), vo.T_dev, vo.vel_dev)
+
+
+def frame_once():
+    # _frame_fn donates the map buffer: rethread the returned state so
+    # every queued call has a live input
+    out = vo._frame_fn(
+        imgs_u8, vo.map, vo.carry_dev, vo.T_dev, vo.vel_dev,
+        jnp.int32(vo.frame_id + 1), jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(False))
+    vo.map = out[1]
+    return out[0]
+
+
+bench_queued("full _frame_fn", frame_once)
 
 # upload costs
 img_u8 = np.asarray(imgL, np.uint8)

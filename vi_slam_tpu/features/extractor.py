@@ -97,6 +97,9 @@ class OrbExtractor:
         self.scales = pyr_ops.scale_factors(cfg.n_levels, cfg.scale_factor)
         self.budgets = level_budgets(cfg.n_features, cfg.n_levels, cfg.scale_factor)
         self.row_offsets = atlas_row_offsets(self.shapes, self.budgets)
+        # the fused Pallas FAST kernel only lowers on real TPU backends;
+        # CPU (tests, virtual-device meshes) falls back to the XLA path
+        self._pallas_ok = jax.default_backend() == "tpu"
         self._fn = jax.jit(self._extract)
         self._fn_atlas = jax.jit(self._extract_core)
 
@@ -131,7 +134,7 @@ class OrbExtractor:
             budget = self.budgets[l]
             if budget <= 0:
                 continue
-            if cfg.use_pallas_fast:
+            if cfg.use_pallas_fast and self._pallas_ok:
                 # fused VMEM kernel: one image read, one response write
                 # (vilib fast_gpu equivalent; see ops/fast_pallas.py)
                 from vi_slam_tpu.ops import fast_pallas

@@ -107,6 +107,10 @@ class FrameJob:
     # True when the KF decision+creation already happened on device inside
     # the frame dispatch (image path); False for host-decided sync paths
     fused: bool = False
+    # uploaded (2, H, W) u8 stereo pair — kept by frontends that do not
+    # extract descriptors every frame (KLT) so failure/reloc paths can
+    # extract on demand
+    imgs: Optional[jnp.ndarray] = None
 
 
 @dataclass
@@ -346,6 +350,9 @@ class StereoVO:
             )
 
         self._track_fn = jax.jit(_track)
+        # un-jitted core for subclasses that fuse it into their own frame
+        # programs (the KLT frontend's ORB rescue branch)
+        self._track_core = _track
 
         row_offs = jnp.asarray(self.extractor.row_offsets, jnp.int32)
 

@@ -61,7 +61,11 @@ class ExtractorConfig:
     # use the fused Pallas FAST kernel (ops/fast_pallas.py) instead of the
     # XLA path for the response map — TPU only (interpret mode on CPU is
     # for tests); equivalence verified by tests/test_frontend.py
-    use_pallas_fast: bool = False
+    # fused Pallas FAST+NMS strip kernel (ops/fast_pallas.py) vs the XLA
+    # shifted-slice path (ops/fast.py). Measured on the real chip (r5,
+    # tools/profile_compute.py chained dispatch): pyramid+detect 2.30 ms
+    # (pallas) vs 2.94 ms (XLA) per KITTI-sized frame — default ON.
+    use_pallas_fast: bool = True
 
 
 @dataclass(frozen=True)
@@ -124,6 +128,29 @@ class TrackerConfig:
     # preempts a busy LocalMapping via InterruptBA, localmapping.cpp:941 —
     # under keyframe-per-frame load it effectively skips BA runs too)
     local_ba_every: int = 1
+    # --- KLT frontend (pipeline/klt_vo.py; vilib feature_tracker_gpu
+    # semantics: IC-LK track between frames, full ORB redetect + track
+    # respawn at keyframes) ---
+    frontend: str = "orb"  # "orb" | "klt"
+    klt_half: int = 5  # LK patch half-size (vilib patch 8x8 ~ half 4-5)
+    klt_iters: int = 8  # IC iterations per pyramid level
+    # halfsample pyramid depth: the convergence basin is roughly
+    # +/- half * 2^(levels-1) px; 5 levels covers ~80 px/frame flow
+    # (KITTI-speed motion on close structure with no velocity prior)
+    klt_levels: int = 5
+    klt_max_residual: float = 25.0  # mean-abs photometric gate
+    # respawn/keyframe trigger: redetect when live tracks fall below this
+    # (occupancy respawn, feature_tracker_gpu.cpp track lifecycle)
+    klt_min_tracks: int = 350
+    # keypoint<->track association radius at keyframes (px, level 0)
+    klt_assoc_radius: float = 2.0
+    # ORB rescue: when the KLT pose pass yields fewer inliers than this,
+    # the frame falls back to the full ORB extract+match+GN inside the
+    # same dispatch and respawns the track set from it. LK mis-locks are
+    # COHERENT on repetitive structure (every track snaps the same way),
+    # so a descriptor-based pass is the one defense that cannot be fooled
+    # the same way. Costs ORB-frame time only on weak frames.
+    klt_rescue_min: int = 60
 
 
 @dataclass(frozen=True)
