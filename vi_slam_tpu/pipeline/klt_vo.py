@@ -205,14 +205,17 @@ class KltStereoVO(StereoVO):
                 b = self._track_core(
                     mstate, ref_slot, feats, uright, depth, T_last, vel
                 )
-                T_r = SE3(b.T_R, b.T_t)
-                n_r = b.packed[_PK_NIN].astype(jnp.int32)
+                T_r = SE3(b.T_R.astype(T.R.dtype), b.T_t.astype(T.t.dtype))
+                n_r = b.packed[_PK_NIN].astype(n_in.dtype)
                 tva_r = feats.valid & (b.matched_mp >= 0)
                 better = n_r > n_in
 
                 def take(_):
-                    return (T_r, n_r, feats.xy, b.matched_mp, feats.level,
-                            tva_r)
+                    # dtypes pinned to the no-rescue operand (x64 test
+                    # runs promote some intermediates)
+                    return (T_r, n_r, feats.xy.astype(trk_xy.dtype),
+                            b.matched_mp.astype(trk_mp.dtype),
+                            feats.level.astype(trk_level.dtype), tva_r)
 
                 return jax.lax.cond(better, take, lambda _: op, None)
 

@@ -855,7 +855,9 @@ class StereoVO:
     def _kf_mapping(self, n_in: int):
         """LocalMapping + LoopClosing duties run at keyframe rate
         (localmapping.cpp:50-260 loop body)."""
-        if self.n_kf >= 3:
+        self._map_tick = getattr(self, "_map_tick", 0) + 1
+        if (self.n_kf >= 3
+                and self._map_tick % self.cfg.tracker.mapping_every == 0):
             with self.timer.stage("mapping"):
                 self.map = self._mapping_fn(self.map, jnp.int32(self.ref_kf))
         self._ba_tick = getattr(self, "_ba_tick", 0) + 1

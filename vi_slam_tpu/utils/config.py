@@ -62,10 +62,14 @@ class ExtractorConfig:
     # XLA path for the response map — TPU only (interpret mode on CPU is
     # for tests); equivalence verified by tests/test_frontend.py
     # fused Pallas FAST+NMS strip kernel (ops/fast_pallas.py) vs the XLA
-    # shifted-slice path (ops/fast.py). Measured on the real chip (r5,
-    # tools/profile_compute.py chained dispatch): pyramid+detect 2.30 ms
-    # (pallas) vs 2.94 ms (XLA) per KITTI-sized frame — default ON.
-    use_pallas_fast: bool = True
+    # shifted-slice path (ops/fast.py). r5 verdict, measured END-TO-END
+    # on the real chip with the compile-free bench protocol (bench.py
+    # --no-pallas-fast A/B, best-of-2): XLA 16.4 fps vs pallas 15.4 fps
+    # at equal ATE — the pallas kernel LOSES ~1 fps end-to-end (its
+    # chained-dispatch microbench win of 2.30 vs 2.94 ms was an async-
+    # dispatch measurement artifact). Default OFF; the kernel stays as a
+    # tested, selectable capability (vilib fast_gpu equivalent).
+    use_pallas_fast: bool = False
 
 
 @dataclass(frozen=True)
@@ -124,6 +128,8 @@ class TrackerConfig:
     kf_point_budget: int = 384
     # run the map-maintenance chain (point/KF culling) every Nth keyframe
     maintenance_every: int = 1
+    # run the mapping pass (fuse + triangulate) every Nth keyframe
+    mapping_every: int = 1
     # run local BA every Nth keyframe (the reference's tracking thread
     # preempts a busy LocalMapping via InterruptBA, localmapping.cpp:941 —
     # under keyframe-per-frame load it effectively skips BA runs too)
