@@ -38,6 +38,10 @@ class StageTimer:
             jax.block_until_ready(sync)
         self.samples[name].append((time.perf_counter() - t0) * 1e3)
 
+    def reset(self):
+        """Drop accumulated samples (new measurement window)."""
+        self.samples = defaultdict(list)
+
     def add(self, name: str, millis: float):
         if self.enabled:
             self.samples[name].append(millis)
