@@ -288,6 +288,7 @@ def make_inertial_world(
     noise_acc: float = 2.0e-3,
     excitation: float = 1.0,
     closed_loop: bool = False,
+    closed_loop_period_frames: int = 0,
 ) -> InertialWorld:
     """Analytic smooth trajectory (closed-form velocity/acceleration) in the
     KITTI camera convention (x right, y down, z forward; gravity +y) with
@@ -332,7 +333,11 @@ def make_inertial_world(
         # geometry loop-closure benchmarks need (LoopClosing::Run,
         # loopclosing.cpp:44-253). Arc speed matches `speed`; the lateral
         # oscillation keeps IMU excitation for bias observability.
-        T_total = n_frames / fps
+        # period defaults to the whole sequence (loop closes exactly at
+        # the last frame); a shorter period makes the tail re-traverse
+        # the start — the regime loop-closure benchmarks need
+        period = closed_loop_period_frames or n_frames
+        T_total = period / fps
         w_c = 2.0 * np.pi / T_total
         Rr = speed / w_c
 

@@ -64,6 +64,7 @@ def optimize_pose_graph(
     fixed: jnp.ndarray,
     iters: int = 20,
     mode: str = "sim3",
+    yaw_axis: jnp.ndarray = None,
 ) -> PoseGraphResult:
     """Optimize keyframe poses S_iw over relative-pose constraints.
 
@@ -73,6 +74,11 @@ def optimize_pose_graph(
         world: S_ji = S_jw o S_iw^-1 at the constraint's configuration).
     edge_valid: (E,) bool; edge_weight: (E,) float (reference uses 1.0).
     fixed: (K,) bool — anchored vertices (the loop KF / origin).
+    yaw_axis: optional (3,) world-frame gravity direction for "4dof" —
+        rotation updates are projected onto this axis (the reference's
+        gravity-aligned graph assumes gravity == z; this engine keeps
+        gravity a free world vector, so the yaw projection must follow
+        it). Without it "4dof" locks rotation to the world z axis.
     """
     dof = jnp.asarray(_DOF_MASKS[mode], poses.t.dtype)
     K = poses.t.shape[0]
@@ -94,8 +100,23 @@ def optimize_pose_graph(
         r = f(zero, zero)
         return r, Jii, Jjj
 
-    free = (~fixed)[:, None] * dof[None, :]  # (K,7)
-    m_full = free.reshape(-1)  # (7K,)
+    # Per-vertex 7x7 tangent projection (replaces the plain diagonal
+    # mask): for gravity-referenced "4dof" the phi block projects onto
+    # the yaw axis (g g^T); diagonal modes are the special case of a
+    # diagonal projection. Fixed vertices project to zero.
+    P7 = jnp.diag(dof)
+    if mode == "4dof" and yaw_axis is not None:
+        g = yaw_axis.astype(dtype)
+        g = g / jnp.maximum(jnp.linalg.norm(g), 1e-9)
+        P7 = P7.at[3:6, 3:6].set(jnp.outer(g, g))
+    Pk = jnp.where(fixed[:, None, None], 0.0, P7[None])  # (K,7,7)
+    kidx = (
+        jnp.arange(K, dtype=jnp.int32)[:, None] * 7
+        + jnp.arange(7, dtype=jnp.int32)[None, :]
+    )  # (K,7)
+
+    def apply_P_vec(v):
+        return jnp.einsum("kij,kj->ki", Pk, v.reshape(K, 7)).reshape(-1)
 
     def gn_iter(poses: Sim3, _):
         Si = Sim3(poses.R[ii], poses.t[ii], poses.s[ii])
@@ -118,14 +139,20 @@ def optimize_pose_graph(
             Hblk
         )
         b = jnp.zeros((n,), dtype).at[gidx].add(bblk)
-        # lock fixed vertices / masked dofs
-        H = H * (m_full[:, None] * m_full[None, :])
-        H = H + jnp.diag(jnp.where(m_full > 0, 1e-6, 1.0))
-        b = b * m_full
+        # constrain to the projected tangent subspace: H <- P H P with
+        # identity on the complementary (locked) subspace so Cholesky
+        # stays PD and locked dofs solve to exactly zero
+        H = jnp.einsum("kij,kjN->kiN", Pk, H.reshape(K, 7, n)).reshape(n, n)
+        Ht = H.reshape(n, K, 7)
+        H = jnp.einsum("Nkj,kij->Nki", Ht, Pk).reshape(n, n)
+        eye7 = jnp.eye(7, dtype=dtype)
+        H = H.at[kidx[:, :, None], kidx[:, None, :]].add(eye7[None] - Pk)
+        H = H + 1e-6 * jnp.eye(n, dtype=dtype)
+        b = apply_P_vec(b)
         dx = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(H, lower=True), b
         )
-        xi = (dx.reshape(K, 7) * free).astype(dtype)
+        xi = apply_P_vec(dx).reshape(K, 7).astype(dtype)
         dS = sim3_m.exp(xi)
         new = poses.compose(dS)  # right perturbation, batched
         cost = jnp.sum(rw * rw)

@@ -227,6 +227,12 @@ class LoopCloser:
         self.last_closed_kf = -(10**9)
         self.stats = LoopCloserStats()
         self._key = jax.random.PRNGKey(7)
+        # inertial pipelines set these once the IMU is initialized: loop
+        # corrections then run the gravity-referenced 4DoF graph and the
+        # owner rotates keyframe velocities via _last_old_poses
+        self.gravity_aligned = False
+        self.gravity_w = None
+        self._last_old_poses = None  # (old_R, old_t) at correction entry
 
     # -- helpers
 
@@ -397,6 +403,9 @@ class LoopCloser:
         old_R = jnp.asarray(kf_R)
         old_t = jnp.asarray(kf_t)
         old_s = jnp.ones((K,), state.kf_t.dtype)
+        # snapshot for the owner's velocity re-rotation hook (inertial
+        # CorrectLoop rotates KF velocities with the yaw correction)
+        self._last_old_poses = (old_R, old_t)
         # S_iw_new = S_ic o S_cw_new, with S_ic = S_iw_old o S_cw_old^-1
         S_iw_old = Sim3(old_R, old_t, old_s)
         S_ic = S_iw_old.compose(S_cw_old.inverse())
@@ -467,10 +476,21 @@ class LoopCloser:
         fixed = np.zeros((K,), bool)
         fixed[cand] = True
         fixed |= ~kf_valid
-        mode = "se3" if self.fix_scale else "sim3"
+        # inertial maps are gravity-aligned: correct with the
+        # yaw+translation graph so the correction cannot tilt the
+        # estimated gravity (LoopClosing::CorrectLoop inertial branch,
+        # loopclosing.cpp:992 -> OptimizeEssentialGraph4DoF,
+        # optimizer.cpp:7521); otherwise se3 (stereo) / sim3 (mono)
+        if self.gravity_aligned and self.gravity_w is not None:
+            mode = "4dof"
+            yaw_axis = jnp.asarray(self.gravity_w, state.kf_t.dtype)
+        else:
+            mode = "se3" if self.fix_scale else "sim3"
+            yaw_axis = None
         res = optimize_pose_graph(
             poses, jnp.asarray(edges_np), meas, jnp.asarray(evalid_np),
             jnp.asarray(ew_np), jnp.asarray(fixed), iters=15, mode=mode,
+            yaw_axis=yaw_axis,
         )
         state = _apply_correction(
             state,

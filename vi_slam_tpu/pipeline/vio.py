@@ -889,6 +889,9 @@ class StereoInertialVO(StereoVO):
         self._chain_breaks = set()
         self._last_ts = None
         self._vio_pipelined = False
+        if self.loop_closer is not None:
+            self.loop_closer.gravity_aligned = False
+            self.loop_closer.gravity_w = None
         self._reset_smoother()
 
     # ------------------------------------------------- Atlas (inertial)
@@ -986,6 +989,36 @@ class StereoInertialVO(StereoVO):
             self._full_inertial_ba()
         self.metrics.event("inertial_merge", kf_offset=kf_off)
         return True
+
+    def _after_loop_correction(self):
+        """Inertial CorrectLoop epilogue (loopclosing.cpp:992 branch):
+        after the 4DoF essential-graph correction rewrites keyframe
+        poses, rotate each keyframe's world-frame velocity by its pose
+        correction (the reference's Rcor * Vw), resync the live velocity
+        through the reference KF's correction, and re-seed the marginal
+        prior at the corrected state."""
+        lc = self.loop_closer
+        old = getattr(lc, "_last_old_poses", None) if lc else None
+        if lc is not None:
+            # consume unconditionally: _after_loop_correction also fires
+            # on map merges, which must not re-apply a stale snapshot
+            lc._last_old_poses = None
+        super()._after_loop_correction()
+        if not self.imu_ready or old is None:
+            return
+        old_R, _old_t = old
+        new_R = self.map.kf_R
+        # world-frame rotation correction per KF: x_w' = R_n^T R_o x_w
+        R_cor = jnp.einsum("kji,kjl->kil", new_R, old_R)
+        v_rot = jnp.einsum("kij,kj->ki", R_cor, self.kf_vel_dev)
+        valid = self.map.kf_valid
+        self.kf_vel_dev = jnp.where(valid[:, None], v_rot, self.kf_vel_dev)
+        ref = max(self.ref_kf, 0)
+        self.vel_w_dev = R_cor[ref] @ self.vel_w_dev
+        self.prior_dev = pose_inertial.initial_prior(
+            self.T_dev, self.vel_w_dev, self.bg_dev, self.ba_dev
+        )
+        self._reset_smoother()
 
     def _reset_smoother(self):
         """Drop the fixed-lag window (after inertial init the whole state
@@ -1123,6 +1156,14 @@ class StereoInertialVO(StereoVO):
         self._reset_smoother()
         self.imu_ready = True
         self._init_stage += 1
+        if self.loop_closer is not None:
+            # loop corrections must now preserve the gravity direction:
+            # select the yaw+translation essential graph
+            # (OptimizeEssentialGraph4DoF, optimizer.cpp:7521) and lock
+            # scale (inertial maps are metric)
+            self.loop_closer.gravity_aligned = True
+            self.loop_closer.gravity_w = self.g_w_dev
+            self.loop_closer.fix_scale = True
         self._full_inertial_ba()
 
     def _full_inertial_ba(self):
