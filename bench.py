@@ -41,6 +41,13 @@ parser.add_argument("--mapping-every", type=int, default=2)
 parser.add_argument("--depth", type=int, default=3)
 parser.add_argument("--fuse-window", type=int, default=1)
 parser.add_argument("--local-kfs", type=int, default=6)
+parser.add_argument("--loop", action="store_true",
+                    help="closed-loop trajectory + vocabulary: place "
+                         "recognition and loop correction run inside the "
+                         "timed window (BASELINE.json configs[2])")
+parser.add_argument("--loop-no-vocab", action="store_true",
+                    help="closed-loop trajectory WITHOUT the loop closer "
+                         "(the A/B baseline for --loop)")
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -51,6 +58,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 # gain on this bench, only cost).
 
 import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from vi_slam_tpu.io import evaluation, synthetic  # noqa: E402
 from vi_slam_tpu.pipeline.klt_vo import make_stereo_vo  # noqa: E402
@@ -92,20 +100,48 @@ cfg = SystemConfig(
 )
 
 log(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
-world = synthetic.make_billboard_world(
-    n_frames=args.frames, n_boards=4000, seed=11, speed=1.0
-)
+if args.loop or args.loop_no_vocab:
+    # closed circular trajectory: the final ~20% re-traverses the start
+    # (LoopClosing::Run capability in the measured window)
+    iw, bw, frames = synthetic.make_billboard_inertial_sequence(
+        args.frames, FX, FY, CX, CY, W, H, BF, fps=10.0,
+        n_landmarks=2000, n_boards=4000, seed=11, closed_loop=True,
+        closed_loop_period_frames=int(args.frames * 0.8), speed=5.0,
+    )
+    world = iw.world
+    log("rendering frames... (closed loop)")
+else:
+    world = synthetic.make_billboard_world(
+        n_frames=args.frames, n_boards=4000, seed=11, speed=1.0
+    )
+    log("rendering frames...")
+    frames = []
+    for i in range(args.frames):
+        imgL = synthetic.render_billboard_image(
+            world, world.poses_wc[i], FX, FY, CX, CY, W, H, baseline=0.0
+        )
+        imgR = synthetic.render_billboard_image(
+            world, world.poses_wc[i], FX, FY, CX, CY, W, H, baseline=BF / FX
+        )
+        frames.append((imgL, imgR))
 
-log("rendering frames...")
-frames = []
-for i in range(args.frames):
-    imgL = synthetic.render_billboard_image(
-        world, world.poses_wc[i], FX, FY, CX, CY, W, H, baseline=0.0
+vocab = None
+if args.loop:
+    # vocabulary trained on the sequence's own ORB descriptors (the
+    # create_voc workflow, tools/create_voc.py, inlined)
+    from vi_slam_tpu.features.extractor import OrbExtractor
+    from vi_slam_tpu.retrieval import vocabulary as voc
+
+    ext = OrbExtractor(cfg.extractor, H, W)
+    descs = []
+    for i in range(0, args.frames, max(args.frames // 10, 1)):
+        f = ext(jnp.asarray(frames[i][0], jnp.float32))
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    vocab = voc.train_vocabulary(
+        np.concatenate(descs).astype(np.uint32), k=8, levels=3, iters=4,
+        seed=3,
     )
-    imgR = synthetic.render_billboard_image(
-        world, world.poses_wc[i], FX, FY, CX, CY, W, H, baseline=BF / FX
-    )
-    frames.append((imgL, imgR))
+    log(f"vocabulary trained ({sum(len(d) for d in descs)} descriptors)")
 
 from vi_slam_tpu.utils.timing import StageTimer  # noqa: E402
 
@@ -117,7 +153,7 @@ t_start = time.time()
 # cold compile landing inside the timed window distorts the r4-style
 # single-pass protocol by up to 6x run-to-run).
 log("warm pass (compiles)...")
-vo_w = make_stereo_vo(cfg)
+vo_w = make_stereo_vo(cfg, vocab=vocab)
 for i, (imgL, imgR) in enumerate(frames):
     vo_w.process_stereo(imgL, imgR, i * 0.1)
 vo_w.flush()
@@ -128,7 +164,7 @@ log(f"warm pass done at {time.time()-t_start:.1f}s")
 best = None
 for rep in range(2):
     timer = StageTimer()
-    vo = make_stereo_vo(cfg, timer=timer)
+    vo = make_stereo_vo(cfg, timer=timer, vocab=vocab)
     times = []
     t_steady = None
     for i, (imgL, imgR) in enumerate(frames):
@@ -159,9 +195,18 @@ log(f"ATE RMSE: {ate['rmse']*100:.1f} cm, lost: {lost}/{args.frames}")
 log(timer.report())
 
 BASELINE_FPS = 15.0
-print(json.dumps({
+out = {
     "metric": "kitti00_sized_stereo_tracking_fps_per_chip",
     "value": round(fps, 3),
     "unit": "frames/s",
     "vs_baseline": round(fps / BASELINE_FPS, 3),
-}))
+}
+if args.loop or args.loop_no_vocab:
+    out["metric"] = "kitti00_sized_stereo_loop_fps_per_chip"
+    out["ate_rmse_cm"] = round(float(ate["rmse"]) * 100, 1)
+    if vo.loop_closer is not None:
+        s_ = vo.loop_closer.stats
+        out["loops_closed"] = s_.n_loops_closed
+        out["loop_queries"] = s_.n_queries
+        log(f"loop stats: {s_}")
+print(json.dumps(out))

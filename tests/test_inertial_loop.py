@@ -90,6 +90,7 @@ def test_inertial_loop_corrects_with_4dof(loop_world):
     # i.e. exactly the 4DoF-correctable subspace)
     lc.gravity_aligned = True
     lc.gravity_w = jnp.asarray([0.0, 0.0, -9.81])
+    lc.consistency_th = 1  # single-query test drives process() once
     for k in range(K_KF):
         lc.add_keyframe(state, k)
 

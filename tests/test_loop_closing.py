@@ -228,6 +228,7 @@ def test_loop_closer_end_to_end(loop_world):
     # consistent-measurement map.
     lc = LoopCloser(cfg, cam, vocab, fix_scale=True, min_gap_kfs=8,
                     run_gba=False)
+    lc.consistency_th = 1  # single-query test drives process() once
     for k in range(K_KF):
         lc.add_keyframe(state, k)
 
@@ -332,6 +333,7 @@ def test_gba_after_essential_graph(loop_world):
     def run(run_gba):
         lc = LoopCloser(cfg, cam, vocab, fix_scale=True, min_gap_kfs=8,
                         run_gba=run_gba)
+        lc.consistency_th = 1  # single-query test
         for k in range(K_KF):
             lc.add_keyframe(state, k)
         out, closed = lc.process(state, K_KF - 1, K_KF)

@@ -436,6 +436,8 @@ def make_billboard_inertial_sequence(
     seed: int = 5,
     excitation: float = 1.0,
     closed_loop: bool = False,
+    closed_loop_period_frames: int = 0,
+    speed: float = 1.2,
 ) -> Tuple[InertialWorld, BillboardWorld, List]:
     """Shared image+IMU bench sequence: an inertial world plus textured
     billboards rendered as stereo pairs along its trajectory (the world
@@ -445,8 +447,8 @@ def make_billboard_inertial_sequence(
     its start (loop-closure benchmarkable, LoopClosing::Run semantics)."""
     iw = make_inertial_world(
         n_frames=n_frames, fps=fps, n_landmarks=n_landmarks, seed=seed,
-        excitation=excitation,
-        **({"closed_loop": True} if closed_loop else {}),
+        excitation=excitation, speed=speed, closed_loop=closed_loop,
+        closed_loop_period_frames=closed_loop_period_frames,
     )
     poses = iw.world.poses_wc
     rng = np.random.default_rng(seed + 2)

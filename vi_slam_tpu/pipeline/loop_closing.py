@@ -233,6 +233,10 @@ class LoopCloser:
         self.gravity_aligned = False
         self.gravity_w = None
         self._last_old_poses = None  # (old_R, old_t) at correction entry
+        # consecutive-query covisibility consistency required before a
+        # candidate is geometrically verified (mnCovisibilityConsistencyTh)
+        self.consistency_th = 3
+        self._consistent_groups: list = []
 
     # -- helpers
 
@@ -285,10 +289,17 @@ class LoopCloser:
         self.covis.remove_keyframe(slot)
 
     def process(
-        self, state: MapState, cur: int, n_kf: int
+        self, state: MapState, cur: int, n_kf: int, refresh_cb=None
     ) -> Tuple[MapState, bool]:
         """Detect and (if verified) close a loop for keyframe `cur`.
-        Returns (possibly corrected map state, closed?)."""
+        Returns (possibly corrected map state, closed?).
+
+        refresh_cb: optional callable invoked after geometric
+        verification but BEFORE the correction; it must drain the
+        owner's in-flight frame pipeline and return the fresh map state
+        (frames dispatched against pre-correction poses finalize wrong
+        against corrected anchors — the reference stops LocalMapping for
+        the same reason, loopclosing.cpp:811-836)."""
         self.stats.n_queries += 1
         if cur - self.last_closed_kf < self.min_gap_kfs:
             return state, False
@@ -301,27 +312,65 @@ class LoopCloser:
         exclude[lo : cur + 1] = True
         exclude[cur] = True
 
-        # min score = worst BoW similarity among strongly covisible KFs
-        bow_cur = self._bow_of(state, cur)
+        # min score = worst BoW similarity among strongly covisible KFs —
+        # computed on device inside the fused query (one pull per KF).
+        # The query KF's BoW was computed by add_bow at insertion: read
+        # the stored row instead of re-running the vocab transform.
+        bow_cur = self.db.db.bow[cur]
         strong = n_ids[n_w >= self.cfg.map.covis_weight_min]
-        if strong.size:
-            scores_all = np.asarray(voc.score_l1(bow_cur, self.db.db.bow))
-            min_score = float(max(scores_all[strong].min(), 1e-3))
-        else:
-            min_score = 0.015
-        cands = self.db.detect_loop_candidates(
-            state, bow_cur, jnp.asarray(exclude), min_score
+        K_db = self.db.db.valid.shape[0]
+        strong_mask = np.zeros((K_db,), bool)
+        strong_mask[strong] = True
+        cands = self.db.detect_loop_candidates_fused(
+            state, bow_cur, jnp.asarray(exclude), jnp.asarray(strong_mask)
         )
         cands = [c for c in cands.tolist() if not exclude[c]]
         self.stats.n_candidates += len(cands)
         if not cands:
+            self._consistent_groups = []
             return state, False
 
-        for cand in cands[:3]:
+        # covisibility-consistency gate (LoopClosing::DetectLoopCandidates
+        # mnCovisibilityConsistencyTh = 3, loopclosing.cpp:370-470): a
+        # candidate is only verified after its covisibility group has
+        # been re-detected in 3 consecutive keyframe queries. This both
+        # rejects spurious single-shot matches (a wrong weld corrupts the
+        # whole map) and cuts the per-keyframe verification cost ~10x.
+        prev = getattr(self, "_consistent_groups", [])
+        new_groups = []
+        consistent = []
+        for cand in cands[:8]:
+            g_ids, g_w = self.covis.best_neighbors(cand, 16)
+            grp = set(int(i) for i in g_ids[g_w > 0]) | {int(cand)}
+            cnt = 1
+            for pgrp, pcnt in prev:
+                if grp & pgrp:
+                    cnt = max(cnt, pcnt + 1)
+            new_groups.append((grp, cnt))
+            if cnt >= self.consistency_th:
+                consistent.append(cand)
+        self._consistent_groups = new_groups
+        if not consistent:
+            return state, False
+
+        for cand in consistent[:3]:
             ok, S_cl, fused = self._verify(state, cur, cand)
             if not ok:
                 continue
             self.stats.n_verified += 1
+            if refresh_cb is not None:
+                fresh = refresh_cb()
+                if fresh is not None:
+                    state = fresh
+                    # the flush may have fused/culled points: re-validate
+                    mp_a, mp_b, fvalid = fused
+                    M = state.mp_valid.shape[0]
+                    fvalid = (
+                        fvalid
+                        & state.mp_valid[jnp.clip(mp_a, 0, M - 1)]
+                        & state.mp_valid[jnp.clip(mp_b, 0, M - 1)]
+                    )
+                    fused = (mp_a, mp_b, fvalid)
             state = self._correct(state, cur, cand, S_cl, fused)
             self.loop_edges.append((cur, cand))
             self.last_closed_kf = cur

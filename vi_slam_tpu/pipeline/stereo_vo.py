@@ -631,6 +631,14 @@ class StereoVO:
     def flush(self) -> Optional[TrackStats]:
         """Drain the in-flight pipeline (end of sequence / before reading
         the trajectory or checkpointing)."""
+        st = self._flush_frames()
+        if self.loop_closer is not None:
+            self._drain_loop_queue()
+        return st
+
+    def _flush_frames(self) -> Optional[TrackStats]:
+        """Drain in-flight frames + pending culls WITHOUT touching the
+        loop-closing queue (safe to call from inside loop correction)."""
         st = None
         while self._inflight:
             st = self._finalize(self._inflight.popleft())
@@ -638,8 +646,6 @@ class StereoVO:
             for info in jax.device_get(self._pending_culls):
                 self._apply_cull_info(info)
             self._pending_culls = []
-        if self.loop_closer is not None:
-            self._drain_loop_queue()
         return st
 
     def _upload_images(self, img_left, img_right) -> jnp.ndarray:
@@ -1060,18 +1066,33 @@ class StereoVO:
             self._drain_loop_queue(limit=len(self._covis_queue) - 1)
 
     def _drain_loop_queue(self, limit: Optional[int] = None):
+        if getattr(self, "_loop_busy", False):
+            return  # re-entrant drain from the pre-correction flush
         lc = self.loop_closer
-        n = 0
-        while self._covis_queue and (limit is None or n < limit):
-            slot, row = self._covis_queue.popleft()
-            n += 1
-            if slot in self.culled_parent:  # culled while queued
-                continue
-            lc.register_covis(slot, np.asarray(row))
-            self.map, closed = lc.process(self.map, slot, self.n_kf)
-            if closed:
-                self.metrics.event("loop_closed", kf=slot)
-                self._after_loop_correction()
+        self._loop_busy = True
+        try:
+            n = 0
+            while self._covis_queue and (limit is None or n < limit):
+                slot, row = self._covis_queue.popleft()
+                n += 1
+                if slot in self.culled_parent:  # culled while queued
+                    continue
+                lc.register_covis(slot, np.asarray(row))
+
+                def _refresh():
+                    # drain frames dispatched against pre-correction
+                    # poses, then hand the fresh map to the correction
+                    self._flush_frames()
+                    return self.map
+
+                self.map, closed = lc.process(
+                    self.map, slot, self.n_kf, refresh_cb=_refresh
+                )
+                if closed:
+                    self.metrics.event("loop_closed", kf=slot)
+                    self._after_loop_correction()
+        finally:
+            self._loop_busy = False
 
     def _after_loop_correction(self):
         """The correction rewrote every keyframe pose (essential graph +

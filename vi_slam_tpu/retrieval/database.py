@@ -131,6 +131,34 @@ def _stage2(
     return out_ids.astype(jnp.int32), acc_scores
 
 
+@partial(jax.jit, static_argnames=("n_cand",))
+def _detect_fused(
+    db: DBState,
+    state: MapState,
+    query_bow: jnp.ndarray,
+    exclude: jnp.ndarray,
+    strong_mask: jnp.ndarray,
+    n_cand: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole loop-candidate query as ONE dispatch: the min-score gate
+    (worst BoW similarity among strongly-covisible KFs,
+    loopclosing.cpp:315), word-sharing stage 1 and covisibility-group
+    stage 2 — a single host pull per keyframe instead of four (the
+    per-query blocking round-trips dominated loop-closing cost on a
+    tunnel-attached TPU: ~150 ms/KF -> ~40 ms/KF)."""
+    scores = score_l1(query_bow, db.bow)
+    ms = jnp.where(strong_mask & db.valid, scores, jnp.inf)
+    has_strong = jnp.any(strong_mask & db.valid)
+    min_score = jnp.where(
+        has_strong,
+        jnp.maximum(jnp.min(ms), 1e-3),
+        jnp.asarray(0.015, scores.dtype),
+    )
+    ids, sc, _ = _stage1(db, query_bow, exclude, min_score, n_cand)
+    out_ids, acc = _stage2(db, state, query_bow, ids, sc)
+    return out_ids, acc
+
+
 def _ordered_unique(ids, scores) -> np.ndarray:
     """Candidate ids sorted by accumulated score (best first), deduped
     preserving order (the reference returns candidates ranked by group
@@ -159,6 +187,20 @@ class KeyFrameDatabase:
 
     def remove(self, slot: int) -> None:
         self.db = remove(self.db, jnp.int32(slot))
+
+    def detect_loop_candidates_fused(
+        self,
+        state: MapState,
+        query_bow: jnp.ndarray,
+        exclude: jnp.ndarray,
+        strong_mask: jnp.ndarray,
+    ) -> np.ndarray:
+        """One-dispatch-one-pull loop query (see _detect_fused)."""
+        out_ids, acc = _detect_fused(
+            self.db, state, query_bow, exclude, strong_mask, self.n_cand
+        )
+        got = jax.device_get({"ids": out_ids, "acc": acc})
+        return _ordered_unique(got["ids"], got["acc"])
 
     def detect_loop_candidates(
         self,
